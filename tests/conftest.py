@@ -1,0 +1,40 @@
+"""Test harness config: run all tests on an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on XLA's host platform with 8 virtual devices.
+
+Note: the environment's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon already in the env, so the platform must be overridden via
+`jax.config.update` (env vars alone are too late). XLA_FLAGS is read lazily
+at backend initialization, which has not happened yet when conftest runs.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh():
+    """An 8-device 1-D mesh with a 'data' axis."""
+    devices = jax.devices()
+    assert len(devices) == 8, f"expected 8 virtual devices, got {len(devices)}"
+    return Mesh(np.array(devices), axis_names=("data",))
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh_2d():
+    """A 4x2 mesh with ('data', 'model') axes for tensor-sharding tests."""
+    devices = jax.devices()
+    return Mesh(np.array(devices).reshape(4, 2), axis_names=("data", "model"))

@@ -1,0 +1,94 @@
+"""Device search parity vs. numpy brute force, single-device and sharded."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from vsc22_tpu.retrieval.search import SimilaritySearcher, global_topk_search, knn_search
+
+
+def brute_knn(q, r, k):
+    sims = q @ r.T
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(sims, idx, axis=1), idx
+
+
+def brute_global_topk(q, r, k):
+    sims = (q @ r.T).reshape(-1)
+    order = np.argsort(-sims, kind="stable")[:k]
+    qi, ri = np.unravel_index(order, (q.shape[0], r.shape[0]))
+    return qi, ri, sims[order]
+
+
+@pytest.fixture(scope="module")
+def random_features():
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((93, 64)).astype(np.float32)
+    r = rng.standard_normal((517, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    r /= np.linalg.norm(r, axis=1, keepdims=True)
+    return q, r
+
+
+@pytest.mark.parametrize("k", [1, 5, 60])
+def test_knn_parity(random_features, k):
+    q, r = random_features
+    scores, idx = knn_search(q, r, k)
+    bs, _ = brute_knn(q, r, k)
+    # Scores must match; indices may differ only at exact score ties.
+    assert_allclose(scores, bs, atol=1e-5)
+
+
+def test_knn_k_larger_than_refs(random_features):
+    q, r = random_features
+    scores, idx = knn_search(q, r[:10], 50)
+    assert scores.shape == (q.shape[0], 10)
+
+
+@pytest.mark.parametrize("global_k", [1, 17, 400, 10**6])
+def test_global_topk_parity(random_features, global_k):
+    q, r = random_features
+    qi, ri, s = global_topk_search(q, r, global_k)
+    bqi, bri, bs = brute_global_topk(q, r, global_k)
+    assert len(s) == min(global_k, q.shape[0] * r.shape[0])
+    assert_allclose(s, bs, atol=1e-5)
+    # Entries above the tie boundary must be identical pairs.
+    strict = s > s[-1] + 1e-6
+    assert set(zip(qi[strict], ri[strict])) == set(zip(bqi[strict], bri[strict]))
+
+
+def test_global_topk_concentrated_rows():
+    """One query hoards the global top-k: exercises the rescan-doubling path."""
+    rng = np.random.default_rng(3)
+    r = rng.standard_normal((300, 16)).astype(np.float32)
+    r /= np.linalg.norm(r, axis=1, keepdims=True)
+    q = np.concatenate([r[:1] * 0.0 + r[:1], rng.standard_normal((49, 16)).astype(np.float32) * 0.01])
+    # Query 0 equals ref 0's direction scaled: its sims dominate.
+    q[0] = r.sum(axis=0) * 10
+    qi, ri, s = global_topk_search(q, r, 250)
+    bqi, bri, bs = brute_global_topk(q, r, 250)
+    assert_allclose(s, bs, atol=1e-4)
+    assert (qi == 0).sum() == (bqi == 0).sum()
+
+
+def test_sharded_search_matches_single_device(cpu_mesh, random_features):
+    q, r = random_features
+    s1, i1 = SimilaritySearcher(r).row_topk(q, 25)
+    s8, i8 = SimilaritySearcher(r, mesh=cpu_mesh).row_topk(q, 25)
+    assert_allclose(s1, s8, atol=1e-5)
+
+    qi1, ri1, sc1 = SimilaritySearcher(r).global_topk(q, 123)
+    qi8, ri8, sc8 = SimilaritySearcher(r, mesh=cpu_mesh).global_topk(q, 123)
+    assert_allclose(sc1, sc8, atol=1e-5)
+    strict = sc1 > sc1[-1] + 1e-6
+    assert set(zip(qi1[strict], ri1[strict])) == set(zip(qi8[strict], ri8[strict]))
+
+
+def test_searcher_handles_tiny_ref_sets():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((5, 8)).astype(np.float32)
+    r = rng.standard_normal((3, 8)).astype(np.float32)
+    scores, idx = SimilaritySearcher(r).row_topk(q, 3)
+    bs, bi = brute_knn(q, r, 3)
+    assert_allclose(scores, bs, atol=1e-5)
+    assert (idx == bi).all()

@@ -1,0 +1,169 @@
+"""CSLS-style score normalization against a noise reference corpus.
+
+Parity targets (reference, for cross-checking — original implementation):
+  - score_normalize:        D1/infer/vsc/baseline/score_normalization.py:33-104
+  - query_score_normalize:  same file :107-148 (adds VED video-score gating)
+  - ref_score_normalize:    same file :150-192
+
+Semantics: each query descriptor gets a bias term
+    bias(q) = -beta * mean(top-nk inner-product sims of q to the noise corpus)
+encoded as an extra descriptor dimension; references get a constant-1 extra
+dimension, so plain inner product realizes sim(q, r) + bias(q). Before that,
+the minimum-variance dimension of the noise corpus is deleted from all sets
+(keeping D constant) and everything is re-L2-normalized.
+
+TPU-native: the noise-corpus k-NN is the device GEMM searcher; the dimension
+surgery and normalization are vectorized over the packed feature matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from jax.sharding import Mesh
+
+from vsc22_tpu.core.types import VideoFeature
+from vsc22_tpu.retrieval.search import SimilaritySearcher
+
+
+def _l2_normalize(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(norms, eps)
+
+
+def transform_features(features: List[VideoFeature], transform) -> List[VideoFeature]:
+    return [dataclasses.replace(f, feature=transform(f.feature)) for f in features]
+
+
+def _delete_dim(features: List[VideoFeature], dim: int) -> List[VideoFeature]:
+    return transform_features(features, lambda f: np.delete(f, dim, axis=1))
+
+
+def _min_variance_dim(features: List[VideoFeature]) -> int:
+    stacked = np.concatenate([f.feature for f in features], axis=0)
+    return int(stacked.var(axis=0).argmin())
+
+
+def _noise_bias(
+    queries: List[VideoFeature],
+    score_norm_refs: List[VideoFeature],
+    beta: float,
+    nk: int,
+    mesh: Optional[Mesh] = None,
+) -> List[np.ndarray]:
+    """Per-query-frame bias = -beta * mean(top-nk sims to the noise corpus)."""
+    noise = np.concatenate([r.feature for r in score_norm_refs], axis=0)
+    searcher = SimilaritySearcher(noise, mesh=mesh)
+    biases = []
+    for q in queries:
+        sims, _ = searcher.row_topk(q.feature, nk)
+        biases.append(-beta * sims.mean(axis=1, keepdims=True))
+    return biases
+
+
+def _check_disjoint(refs: List[VideoFeature], score_norm_refs: List[VideoFeature]):
+    if {f.video_id for f in refs} & {f.video_id for f in score_norm_refs}:
+        raise ValueError(
+            "Score-normalizing against the evaluated reference set is against "
+            "VSC rules; an independent noise corpus is required."
+        )
+
+
+def score_normalize(
+    queries: List[VideoFeature],
+    refs: List[VideoFeature],
+    score_norm_refs: List[VideoFeature],
+    l2_normalize: bool = True,
+    replace_dim: bool = True,
+    beta: float = 1.0,
+    nk: int = 1,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[List[VideoFeature], List[VideoFeature]]:
+    """Normalize queries and refs together against a noise corpus."""
+    _check_disjoint(refs, score_norm_refs)
+    if score_norm_refs is not None and replace_dim:
+        low_var_dim = _min_variance_dim(score_norm_refs)
+        queries, refs, score_norm_refs = (
+            _delete_dim(x, low_var_dim) for x in (queries, refs, score_norm_refs)
+        )
+    if l2_normalize:
+        queries, refs, score_norm_refs = (
+            transform_features(x, _l2_normalize) for x in (queries, refs, score_norm_refs)
+        )
+    biases = _noise_bias(queries, score_norm_refs, beta, nk, mesh=mesh)
+    adapted_queries = [
+        dataclasses.replace(q, feature=np.concatenate([q.feature, b], axis=1))
+        for q, b in zip(queries, biases)
+    ]
+    adapted_refs = [
+        dataclasses.replace(
+            r, feature=np.concatenate([r.feature, np.ones_like(r.feature[:, :1])], axis=1)
+        )
+        for r in refs
+    ]
+    return adapted_queries, adapted_refs
+
+
+def query_score_normalize(
+    queries: List[VideoFeature],
+    score_norm_refs: List[VideoFeature],
+    video_scores: Optional[Dict[str, float]] = None,
+    score_threshold: float = 0.001,
+    low_var_dim: int = 0,
+    l2_normalize: bool = True,
+    replace_dim: bool = True,
+    beta: float = 1.0,
+    nk: int = 1,
+    mesh: Optional[Mesh] = None,
+) -> List[VideoFeature]:
+    """Query-side normalization with optional VED (video-editing-score) gating.
+
+    Queries whose video score is below ``score_threshold`` get bias -100,
+    effectively removing all their candidate similarities.
+    """
+    if score_norm_refs is not None and replace_dim:
+        queries, score_norm_refs = (
+            _delete_dim(x, low_var_dim) for x in (queries, score_norm_refs)
+        )
+    if l2_normalize:
+        queries, score_norm_refs = (
+            transform_features(x, _l2_normalize) for x in (queries, score_norm_refs)
+        )
+    biases = _noise_bias(queries, score_norm_refs, beta, nk, mesh=mesh)
+    adapted = []
+    for q, b in zip(queries, biases):
+        if video_scores is not None and video_scores[q.video_id] < score_threshold:
+            b = np.full_like(b, -100.0)
+        adapted.append(
+            dataclasses.replace(q, feature=np.concatenate([q.feature, b], axis=1))
+        )
+    return adapted
+
+
+def ref_score_normalize(
+    refs: List[VideoFeature],
+    score_norm_refs: List[VideoFeature],
+    l2_normalize: bool = True,
+    replace_dim: bool = True,
+    beta: float = 1.0,
+    nk: int = 1,
+) -> List[VideoFeature]:
+    """Reference-side normalization: delete noise min-var dim, L2, append 1s."""
+    _check_disjoint(refs, score_norm_refs)
+    if score_norm_refs is not None and replace_dim:
+        low_var_dim = _min_variance_dim(score_norm_refs)
+        refs, score_norm_refs = (
+            _delete_dim(x, low_var_dim) for x in (refs, score_norm_refs)
+        )
+    if l2_normalize:
+        refs, score_norm_refs = (
+            transform_features(x, _l2_normalize) for x in (refs, score_norm_refs)
+        )
+    return [
+        dataclasses.replace(
+            r, feature=np.concatenate([r.feature, np.ones_like(r.feature[:, :1])], axis=1)
+        )
+        for r in refs
+    ]

@@ -1,0 +1,278 @@
+"""Similarity search as sharded GEMM + top-k (the FAISS replacement).
+
+Contracts reproduced (reference, for cross-checking — original TPU design):
+  - k-NN search:            D1/infer/vsc/index.py:167-177
+  - global-k budget search: D1/infer/vsc/index.py:142-165 +
+                            D1/infer/vsc/exhaustive_search.py:206-292
+
+The reference's "adaptive range search" iterates query batches host-side,
+shrinking a radius until the result count lands in [global_k, 2*global_k],
+then sorts and truncates to global_k — i.e. its output is exactly the global
+top-`global_k` entries of the Q×R inner-product matrix. We compute that
+directly on device:
+
+  1. per-query-row top-m candidates via tiled GEMM + `lax.top_k`
+     (a `lax.scan` over reference tiles with a running merge, so the full
+     similarity matrix never materializes in HBM);
+  2. the global threshold τ = k-th best of the collected candidates;
+  3. rows whose m-th candidate still exceeds τ are rescanned with doubled m
+     (exactness fix-up; rare in practice);
+  4. host-side sort + truncate.
+
+Multi-chip: references are sharded along the mesh's ``data`` axis with
+`shard_map`; each device scans its shard, local top-k results are
+all-gathered over ICI and re-reduced. Queries are replicated (they are tiny
+compared to the reference corpus).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
+    n = x.shape[0]
+    padded = _round_up(max(n, 1), multiple)
+    if padded == n:
+        return x
+    return np.concatenate([x, np.zeros((padded - n,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def _merge_topk(best_s, best_i, new_s, new_i, k: int):
+    """Merge two per-row candidate sets, keeping the row-wise top-k."""
+    s = jnp.concatenate([best_s, new_s], axis=1)
+    i = jnp.concatenate([best_i, new_i], axis=1)
+    sel_s, sel_pos = jax.lax.top_k(s, k)
+    sel_i = jnp.take_along_axis(i, sel_pos, axis=1)
+    return sel_s, sel_i
+
+
+def _row_topk_impl(queries, refs, num_valid, *, k: int, ref_tile: int, vary_axis=None):
+    """Per-query-row top-k of `queries @ refs.T`, scanning reference tiles.
+
+    queries: [Tq, D]; refs: [Nr_padded, D] with Nr_padded % ref_tile == 0.
+    Rows of `refs` at index >= num_valid (traced scalar) score -inf.
+    Returns (scores [Tq, k], indices [Tq, k]), sorted descending per row.
+    Inside shard_map, `vary_axis` marks the scan carry as varying over the
+    mesh axis (required by shard_map's varying-manual-axes typing).
+    """
+    nr, dim = refs.shape
+    num_tiles = nr // ref_tile
+    tq = queries.shape[0]
+    refs_tiled = refs.reshape(num_tiles, ref_tile, dim)
+    kk = min(k, ref_tile)
+
+    def step(carry, inp):
+        tile_idx, ref_block = inp
+        sims = jax.lax.dot_general(
+            queries,
+            ref_block,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Tq, ref_tile] — MXU GEMM
+        col0 = tile_idx * ref_tile
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tq, ref_tile), 1)
+        sims = jnp.where(cols < num_valid, sims, NEG_INF)
+        s, i = jax.lax.top_k(sims, kk)
+        if kk < k:
+            s = jnp.concatenate([s, jnp.full((tq, k - kk), NEG_INF, s.dtype)], axis=1)
+            i = jnp.concatenate([i, jnp.zeros((tq, k - kk), i.dtype)], axis=1)
+        return _merge_topk(*carry, s, i + col0, k), None
+
+    init = (
+        jnp.full((tq, k), NEG_INF, jnp.float32),
+        jnp.zeros((tq, k), jnp.int32),
+    )
+    if vary_axis is not None:
+        init = jax.tree.map(lambda x: jax.lax.pcast(x, (vary_axis,), to="varying"), init)
+    (scores, indices), _ = jax.lax.scan(
+        step, init, (jnp.arange(num_tiles, dtype=jnp.int32), refs_tiled)
+    )
+    return scores, indices
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ref_tile"))
+def _row_topk_local(queries, refs, num_valid, *, k: int, ref_tile: int):
+    return _row_topk_impl(queries, refs, num_valid, k=k, ref_tile=ref_tile)
+
+
+def _make_sharded_row_topk(mesh: Mesh, axis: str, *, k: int, ref_tile: int, shard_rows: int):
+    """shard_map'd row-top-k: refs row-sharded along `axis`, queries replicated."""
+
+    def local(q, r, num_valid):
+        idx = jax.lax.axis_index(axis)
+        base = idx * shard_rows
+        local_valid = jnp.clip(num_valid - base, 0, shard_rows)
+        s, i = _row_topk_impl(q, r, local_valid, k=k, ref_tile=ref_tile, vary_axis=axis)
+        i = i + base
+        # Gather every device's local winners over ICI and re-reduce.
+        s_all = jax.lax.all_gather(s, axis)  # [nd, Tq, k]
+        i_all = jax.lax.all_gather(i, axis)
+        nd, tq, _ = s_all.shape
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(tq, nd * k)
+        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(tq, nd * k)
+        sel_s, sel_pos = jax.lax.top_k(s_flat, k)
+        sel_i = jnp.take_along_axis(i_flat, sel_pos, axis=1)
+        return sel_s, sel_i
+
+    # After all_gather + identical reduction the outputs are replicated on
+    # every device; that replication is not statically inferable, hence
+    # check_vma=False.
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class SimilaritySearcher:
+    """Reusable searcher over a fixed reference matrix.
+
+    Pads and (optionally) shards the reference matrix once; serves k-NN and
+    global-top-k queries. Single-device by default; pass a `Mesh` with a data
+    axis to shard the references row-wise across devices.
+    """
+
+    def __init__(
+        self,
+        refs: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        mesh_axis: str = "data",
+        ref_tile: int = 2048,
+        query_tile: int = 1024,
+    ):
+        self.num_refs = int(refs.shape[0])
+        self.dim = int(refs.shape[1])
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.query_tile = query_tile
+        self._sharded_cache = {}
+
+        if mesh is not None:
+            nd = mesh.shape[mesh_axis]
+            self.shard_rows = _round_up(max(self.num_refs, 1), nd * 128) // nd
+            padded = np.zeros((self.shard_rows * nd, self.dim), np.float32)
+            padded[: self.num_refs] = refs
+            self.ref_tile = self._pick_tile(self.shard_rows, ref_tile)
+            self.refs = jax.device_put(padded, NamedSharding(mesh, P(mesh_axis)))
+        else:
+            padded = _pad_rows(refs.astype(np.float32), 128)
+            self.ref_tile = self._pick_tile(padded.shape[0], ref_tile)
+            self.refs = jax.device_put(padded)
+
+    @staticmethod
+    def _pick_tile(rows: int, want: int) -> int:
+        tile = min(want, rows)
+        return tile if rows % tile == 0 else math.gcd(rows, tile)
+
+    # ------------------------------------------------------------------
+    def row_topk(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact per-row top-k. Returns (scores [Nq,k], indices [Nq,k])."""
+        nq = queries.shape[0]
+        k_eff = max(1, min(k, self.num_refs))
+        q = _pad_rows(queries.astype(np.float32), 128)
+        tile = min(self.query_tile, q.shape[0])
+        if q.shape[0] % tile:
+            q = _pad_rows(q, tile)
+        out_s = np.empty((q.shape[0], k_eff), np.float32)
+        out_i = np.empty((q.shape[0], k_eff), np.int32)
+        num_valid = jnp.int32(self.num_refs)
+        fn = self._get_fn(k_eff)
+        for start in range(0, q.shape[0], tile):
+            s, i = fn(jnp.asarray(q[start : start + tile]), self.refs, num_valid)
+            out_s[start : start + tile] = np.asarray(s)
+            out_i[start : start + tile] = np.asarray(i)
+        return out_s[:nq], out_i[:nq]
+
+    def _get_fn(self, k: int):
+        if self.mesh is None:
+            return functools.partial(_row_topk_local, k=k, ref_tile=self.ref_tile)
+        key = k
+        if key not in self._sharded_cache:
+            self._sharded_cache[key] = _make_sharded_row_topk(
+                self.mesh,
+                self.mesh_axis,
+                k=k,
+                ref_tile=self.ref_tile,
+                shard_rows=self.shard_rows,
+            )
+        return self._sharded_cache[key]
+
+    # ------------------------------------------------------------------
+    def global_topk(
+        self, queries: np.ndarray, global_k: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact global top-`global_k` entries of the Q×R similarity matrix.
+
+        Returns (q_idx, r_idx, score) sorted by descending score, of length
+        min(global_k, Nq * num_refs).
+        """
+        nq = queries.shape[0]
+        total = nq * self.num_refs
+        k = min(global_k, total)
+        if k <= 0:
+            z = np.zeros((0,), np.int64)
+            return z, z, np.zeros((0,), np.float32)
+
+        m = min(self.num_refs, max(16, -(-2 * k // nq)))
+        scores, indices = self.row_topk(queries, m)
+
+        while True:
+            flat = scores.reshape(-1)
+            if k >= flat.size:
+                tau = NEG_INF / 2
+            else:
+                tau = np.partition(flat, flat.size - k)[flat.size - k]
+            if m >= self.num_refs:
+                break
+            suspect = scores[:, -1] > tau
+            if not suspect.any():
+                break
+            # Rows whose candidate list may be truncated above τ: rescan deeper.
+            m = min(self.num_refs, m * 2)
+            new_s, new_i = self.row_topk(queries[suspect], m)
+            grown_s = np.full((nq, m), NEG_INF, np.float32)
+            grown_i = np.zeros((nq, m), np.int32)
+            grown_s[:, : scores.shape[1]] = scores
+            grown_i[:, : indices.shape[1]] = indices
+            grown_s[suspect] = new_s
+            grown_i[suspect] = new_i
+            scores, indices = grown_s, grown_i
+
+        q_idx = np.repeat(np.arange(nq, dtype=np.int64), scores.shape[1])
+        r_idx = indices.reshape(-1).astype(np.int64)
+        s = scores.reshape(-1)
+        keep = s >= tau
+        q_idx, r_idx, s = q_idx[keep], r_idx[keep], s[keep]
+        order = np.argsort(-s, kind="stable")[:k]
+        return q_idx[order], r_idx[order], s[order]
+
+
+def knn_search(
+    queries: np.ndarray, refs: np.ndarray, k: int, mesh: Optional[Mesh] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-shot per-row k-NN (inner product). See `SimilaritySearcher.row_topk`."""
+    return SimilaritySearcher(refs, mesh=mesh).row_topk(queries, k)
+
+
+def global_topk_search(
+    queries: np.ndarray, refs: np.ndarray, global_k: int, mesh: Optional[Mesh] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-shot exact global top-k search. See `SimilaritySearcher.global_topk`."""
+    return SimilaritySearcher(refs, mesh=mesh).global_topk(queries, global_k)

@@ -1,0 +1,179 @@
+"""Alignment (VTA) and localization conformance tests."""
+
+import numpy as np
+import pytest
+
+from vsc22_tpu.align.localization import VCSLLocalizationMaxSim
+from vsc22_tpu.align.vta import (
+    _dtw_accumulate,
+    build_vta_model,
+    cut_path,
+    dp,
+    dtw,
+    hv,
+    iou,
+    tn,
+    zero_runs,
+)
+from vsc22_tpu.core.types import CandidatePair, VideoFeature
+
+D = 64
+
+
+def normalize(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def make_feature(i, feature):
+    return VideoFeature(
+        video_id=i, feature=feature, timestamps=np.arange(feature.shape[0]) * 1.0
+    )
+
+
+def planted_case(rng):
+    """Query video 1 copies frames 30:40 of ref video 3 at positions 20:30."""
+    a = normalize(rng.normal(size=(45, D)))
+    b = normalize(rng.normal(size=(30, D)))
+    c = normalize(rng.normal(size=(60, D)))
+    a[20:30, :] = c[30:40, :]
+    return [make_feature(1, a)], [make_feature(2, b), make_feature(3, c)]
+
+
+class TestHelpers:
+    def test_zero_runs(self):
+        runs = zero_runs(np.array([0, 0, 1, 0, 2, 0, 0, 0]))
+        assert runs.tolist() == [[0, 2], [3, 4], [5, 8]]
+
+    def test_iou_identity(self):
+        box = np.array([[0, 0, 9, 9]], np.float64)
+        assert iou(box, box)[0, 0] == pytest.approx(1.0)
+
+    def test_iou_disjoint(self):
+        a = np.array([[0, 0, 4, 4]], np.float64)
+        b = np.array([[10, 10, 14, 14]], np.float64)
+        assert iou(a, b)[0, 0] == pytest.approx(0.0)
+
+    def test_cut_path_pure_diagonal(self):
+        path = np.stack([np.arange(10), np.arange(10)], axis=1)
+        assert cut_path(path, 3).tolist() == [[0, 10]]
+
+    def test_cut_path_removes_long_horizontal(self):
+        # Diagonal, then 6 steps with constant query index, then diagonal.
+        qs = np.concatenate([np.arange(5), np.full(6, 4), np.arange(5, 10)])
+        rs = np.arange(len(qs))
+        path = np.stack([qs, rs], axis=1)
+        keep = cut_path(path, diagonal_thres=3)
+        assert len(keep) == 2  # the horizontal run is cut out
+
+
+class TestDtw:
+    def test_accumulate_matches_naive(self):
+        rng = np.random.default_rng(0)
+        cost = rng.random((13, 17))
+        acc = _dtw_accumulate(cost)
+        naive = np.zeros_like(cost)
+        naive[0] = np.cumsum(cost[0])
+        for i in range(1, cost.shape[0]):
+            for j in range(cost.shape[1]):
+                if j == 0:
+                    naive[i, j] = cost[i, j] + naive[i - 1, 0]
+                else:
+                    naive[i, j] = cost[i, j] + min(
+                        naive[i - 1, j - 1], naive[i - 1, j], naive[i, j - 1]
+                    )
+        np.testing.assert_allclose(acc, naive, atol=1e-9)
+
+    def test_dtw_finds_planted_diagonal(self):
+        rng = np.random.default_rng(1)
+        sim = rng.random((50, 50)) * 0.1
+        idx = np.arange(10, 40)
+        sim[idx, idx] = 0.95
+        boxes = dtw(sim, min_sim=0.3, min_length=5)
+        assert len(boxes) >= 1
+        q0, r0, q1, r1 = boxes[0]
+        assert q0 <= 12 and q1 >= 38
+
+
+class TestDp:
+    def test_dp_finds_planted_diagonal(self):
+        rng = np.random.default_rng(2)
+        sim = rng.random((40, 40)) * 0.1 - 0.5
+        idx = np.arange(5, 35)
+        sim[idx, idx] = 0.9
+        boxes = dp(sim.copy())
+        assert len(boxes) >= 1
+        q0, r0, q1, r1 = boxes[0]
+        assert q0 <= 7 and q1 >= 33
+
+    def test_dp_empty_on_noise(self):
+        rng = np.random.default_rng(3)
+        sim = rng.random((30, 30)) * 0.05 - 0.9
+        assert dp(sim.copy(), ave_sim=1.5) == []
+
+
+class TestTn:
+    def test_tn_finds_planted_diagonal(self):
+        rng = np.random.default_rng(4)
+        sim = rng.random((50, 60)) * 0.05
+        idx = np.arange(10, 40)
+        sim[idx, idx + 5] = 0.9
+        boxes = tn(sim)
+        assert len(boxes) >= 1
+        q0, r0, q1, r1 = boxes[0]
+        assert q0 <= 12 and q1 >= 38 and r0 <= 17 and r1 >= 43
+
+    def test_tn_empty_on_noise(self):
+        rng = np.random.default_rng(5)
+        sim = rng.random((30, 30)) * 0.01
+        assert tn(sim) == []
+
+
+class TestHv:
+    def test_hv_finds_planted_diagonal(self):
+        rng = np.random.default_rng(6)
+        sim = rng.random((50, 50)) * 0.05
+        idx = np.arange(10, 40)
+        sim[idx, idx] = 0.9
+        boxes = hv(sim.copy())
+        assert any(q0 <= 10 and q1 >= 39 for q0, r0, q1, r1 in boxes)
+
+    def test_hv_empty_below_threshold(self):
+        sim = np.full((20, 20), 0.1)
+        assert hv(sim.copy(), min_sim=0.5) == []
+
+
+def test_build_vta_model_dispatch():
+    for method in ("DTW", "DP", "TN", "HV"):
+        model = build_vta_model(method)
+        assert model is not None
+    with pytest.raises(ValueError):
+        build_vta_model("XX")
+
+
+class TestLocalization:
+    """Reference test_localization.py semantics."""
+
+    def test_localize(self):
+        rng = np.random.default_rng(7)
+        queries, refs = planted_case(rng)
+        localization = VCSLLocalizationMaxSim(queries, refs, "TN")
+        assert localization.localize(CandidatePair(1, 2, 1.0)) == []
+        matches = localization.localize(CandidatePair(1, 3, 2.0))
+        assert len(matches) >= 1
+        m = matches[0]
+        # The detected segment must overlap the planted one (q 20:30, r 30:40).
+        assert m.query_start < 30 and m.query_end > 20
+        assert m.ref_start < 40 and m.ref_end > 30
+        assert m.score > 0.5  # max sim inside the box is ~1
+
+    def test_localize_all(self):
+        rng = np.random.default_rng(8)
+        queries, refs = planted_case(rng)
+        localization = VCSLLocalizationMaxSim(queries, refs, "TN")
+        matches = localization.localize_all(
+            [CandidatePair(1, 2, 1.0), CandidatePair(1, 3, 2.0)]
+        )
+        assert len(matches) >= 1
+        for match in matches:
+            assert match.query_id == 1
+            assert match.ref_id == 3

@@ -1,0 +1,150 @@
+"""Contrastive trainer tests: losses, step mechanics, EMA/FGM, mesh parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from vsc22_tpu.models.vit import vit_tiny_test_descriptor
+from vsc22_tpu.train.contrastive import (
+    ContrastiveConfig,
+    contrastive_loss,
+    create_train_state,
+    entropy_loss,
+    make_optimizer,
+    make_train_step,
+    product_entropy_loss,
+)
+
+
+def make_batch(rng, b=8, size=64):
+    ka, kb = jax.random.split(jax.random.PRNGKey(rng))
+    return {
+        "img_a": jax.random.normal(ka, (b, size, size, 3)),
+        "img_b": jax.random.normal(kb, (b, size, size, 3)),
+    }
+
+
+class TestLosses:
+    def test_contrastive_perfect_alignment_low_loss(self):
+        """Identical views + orthogonal pairs → near-zero InfoNCE at low temp."""
+        emb = jnp.eye(4, 16)[:4]
+        loss_aligned = contrastive_loss(emb, emb, temperature=0.05)
+        rng = jax.random.PRNGKey(0)
+        rand = jax.random.normal(rng, (4, 16))
+        rand = rand / jnp.linalg.norm(rand, axis=1, keepdims=True)
+        loss_random = contrastive_loss(emb, rand, temperature=0.05)
+        assert float(loss_aligned) < 1e-3
+        assert float(loss_aligned) < float(loss_random)
+
+    def test_contrastive_margin_increases_loss(self):
+        emb = jnp.eye(4, 16)[:4]
+        base = contrastive_loss(emb, emb, 0.05, margin=0.0)
+        with_margin = contrastive_loss(emb, emb, 0.05, margin=0.5)
+        assert float(with_margin) > float(base)
+
+    def test_entropy_loss_prefers_spread(self):
+        """Higher max non-match similarity → higher entropy loss."""
+        spread = jnp.eye(4)  # non-match sims are 0
+        crowded = jnp.full((4, 4), 0.9) + 0.1 * jnp.eye(4)
+        assert float(entropy_loss(crowded, 1.0)) > float(entropy_loss(spread, 1.0))
+
+    def test_entropy_loss_oracle(self):
+        sims = jnp.array([[1.0, 0.3], [0.1, 1.0]])
+        # max non-match per row: 0.3, 0.1
+        expect = -np.mean(np.log(np.sqrt((1 - np.array([0.3, 0.1])) / 2))) * 30.0
+        assert float(entropy_loss(sims, 30.0)) == pytest.approx(expect, rel=1e-5)
+
+    def test_product_loss_oracle(self):
+        a = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+        b = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+        expect = np.mean(np.exp(1 - np.array([1.0, 0.0])))
+        assert float(product_entropy_loss(a, b)) == pytest.approx(expect, rel=1e-6)
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = vit_tiny_test_descriptor()
+        cfg = ContrastiveConfig(total_steps=100, learning_rate=1e-3, entropy_weight=1.0)
+        batch = make_batch(0)
+        state, tx = create_train_state(model, jax.random.PRNGKey(0), batch, cfg)
+        return model, cfg, tx, state, batch
+
+    def test_loss_decreases(self, setup):
+        model, cfg, tx, state, batch = setup
+        step = make_train_step(model, tx, cfg)
+        rng = jax.random.PRNGKey(1)
+        first = None
+        for i in range(8):
+            state, metrics = step(state, batch, rng)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+        assert int(state.step) == 8
+
+    def test_ema_tracks_params(self):
+        model = vit_tiny_test_descriptor()
+        cfg = ContrastiveConfig(total_steps=10, learning_rate=1e-2, ema_decay=0.5, entropy_weight=1.0)
+        batch = make_batch(1, b=4)
+        state, tx = create_train_state(model, jax.random.PRNGKey(0), batch, cfg)
+        step = make_train_step(model, tx, cfg)
+        p0 = jax.tree.map(np.asarray, state.params)
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        # EMA must sit strictly between old and new params where they moved.
+        leaf0 = jax.tree.leaves(p0)[0]
+        leaf_new = np.asarray(jax.tree.leaves(state.params)[0])
+        leaf_ema = np.asarray(jax.tree.leaves(state.ema_params)[0])
+        assert_allclose(leaf_ema, 0.5 * leaf0 + 0.5 * leaf_new, atol=1e-6)
+
+    def test_fgm_runs_and_changes_training(self):
+        model = vit_tiny_test_descriptor()
+        batch = make_batch(2, b=4)
+        # warmup_ratio=0 so the first steps have a non-zero learning rate.
+        common = dict(
+            total_steps=10, entropy_weight=1.0, ema_decay=None,
+            warmup_ratio=0.0, learning_rate=1e-3,
+        )
+        cfg_plain = ContrastiveConfig(**common)
+        cfg_fgm = ContrastiveConfig(**common, fgm_epsilon=0.1)
+        rng = jax.random.PRNGKey(0)
+
+        def run(cfg):
+            state, tx = create_train_state(model, jax.random.PRNGKey(0), batch, cfg)
+            step = make_train_step(model, tx, cfg)
+            for _ in range(4):
+                state, metrics = step(state, batch, rng)
+            return state, metrics
+
+        s_plain, m_plain = run(cfg_plain)
+        s_fgm, m_fgm = run(cfg_fgm)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), s_plain.params, s_fgm.params
+        )
+        assert max(jax.tree.leaves(diffs)) > 1e-7
+        assert np.isfinite(float(m_fgm["loss"]))
+
+    def test_optimizer_schedule_warmup(self):
+        cfg = ContrastiveConfig(total_steps=100, warmup_ratio=0.1, learning_rate=1e-3)
+        tx = make_optimizer(cfg)
+        assert tx is not None
+
+
+def test_mesh_step_matches_single_device(cpu_mesh):
+    """DP-sharded train step == single-device step (exact global loss)."""
+    model = vit_tiny_test_descriptor()
+    cfg = ContrastiveConfig(total_steps=10, entropy_weight=1.0, ema_decay=None)
+    batch = make_batch(3, b=8)
+    rng = jax.random.PRNGKey(0)
+
+    state1, tx1 = create_train_state(model, jax.random.PRNGKey(0), batch, cfg)
+    s1, m1 = make_train_step(model, tx1, cfg)(state1, batch, rng)
+
+    state8, tx8 = create_train_state(model, jax.random.PRNGKey(0), batch, cfg, mesh=cpu_mesh)
+    s8, m8 = make_train_step(model, tx8, cfg, mesh=cpu_mesh)(state8, batch, rng)
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-4)
+    a = np.asarray(jax.tree.leaves(s1.params)[-1])
+    b = np.asarray(jax.tree.leaves(s8.params)[-1])
+    assert_allclose(a, b, atol=1e-4)

@@ -1,0 +1,148 @@
+"""Shared model building blocks (Flax linen).
+
+GeM pooling reproduces the reference semantics
+(D1/train/train_v68/.../backbones/sscd.py:11-40: clamp(1e-6) → x^p → mean →
+x^(1/p)); everything else is standard transformer machinery written for XLA:
+static shapes, fused QKV projections, bf16 compute with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+
+def gem_pool(x: jax.Array, p: float = 3.0, axis: int = 1, eps: float = 1e-6) -> jax.Array:
+    """Generalized-mean pool over `axis`: (mean(clamp(x, eps)^p))^(1/p)."""
+    x = jnp.clip(x.astype(jnp.float32), eps, None)
+    pooled = jnp.mean(x**p, axis=axis)
+    return pooled ** (1.0 / p)
+
+
+class GeMPool(nn.Module):
+    """GeM pooling with optional 1x1 projection before pooling.
+
+    Mirrors the reference's `GlobalGeMPool2d(pool_param, linear_param)`:
+    when `proj_dim` is set, tokens are first projected (Conv1d k=1 == Dense)
+    to `proj_dim` channels, then GeM-pooled over the token axis.
+    """
+
+    pool_param: float = 3.0
+    proj_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:  # [B, L, C]
+        if self.proj_dim is not None:
+            tokens = nn.Dense(self.proj_dim, dtype=self.dtype, name="proj")(tokens)
+        return gem_pool(tokens, self.pool_param, axis=1)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP block: Dense → GELU → Dense."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard pre-LN ViT attention with a fused QKV projection.
+
+    Kept explicit (rather than nn.SelfAttention) so the QKV GEMM is a single
+    MXU-friendly [B*L, C] x [C, 3C] matmul and so SwinV2's cosine-attention
+    variant can subclass the same layout.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, L, C]
+        deterministic: bool = True,
+        attn_bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, l, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i] for i in range(3))  # [B, L, H, hd]
+
+        attn = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
+        attn = attn * (head_dim**-0.5)
+        if attn_bias is not None:
+            attn = attn + attn_bias
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhlm,bmhd->blhd", attn, v, preferred_element_type=jnp.float32)
+        out = out.reshape(b, l, c).astype(self.dtype)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the residual branch per sample."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer encoder block."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+    drop_path: float = 0.0
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        c = x.shape[-1]
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, proj_drop=self.dropout, name="attn"
+        )(y, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype, dropout=self.dropout, name="mlp")(
+            y, deterministic
+        )
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        return x
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)

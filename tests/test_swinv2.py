@@ -1,0 +1,157 @@
+"""SwinV2 tests: window ops, masks, identity init, shapes, torch parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from vsc22_tpu.models.swinv2 import (
+    SWINV2_BASE_256,
+    _relative_coords_table,
+    _relative_position_index,
+    _shift_attn_mask,
+    swinv2_tiny_test_descriptor,
+    window_partition,
+    window_reverse,
+)
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 5)).astype(np.float32))
+    wins = window_partition(x, 4)
+    assert wins.shape == (2 * 4, 16, 5)
+    back = window_reverse(wins, 4, 8, 8)
+    assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_properties():
+    idx = _relative_position_index(4, 4)
+    assert idx.shape == (16, 16)
+    assert idx.min() >= 0 and idx.max() < 7 * 7
+    # Same relative displacement -> same index: check (0,0)->(1,1) pairs.
+    assert idx[0, 5] == idx[5, 10]  # both are (+1,+1) displacements
+    assert (np.diag(idx) == idx[0, 0]).all()  # zero displacement constant
+
+
+def test_relative_coords_table_range():
+    table = _relative_coords_table(16, 16, pretrained=12)
+    assert table.shape == (1, 31, 31, 2)
+    # log-8 scaling keeps values within sign * log2(1+8*max_ratio)/log2(8).
+    bound = np.log2(1 + 8 * 15 / 11) / np.log2(8)
+    assert np.abs(table).max() <= bound + 1e-6
+
+
+def test_shift_mask_blocks_cross_region():
+    mask = _shift_attn_mask(8, 8, 4, 2)
+    assert mask.shape == (4, 16, 16)
+    assert set(np.unique(mask)) <= {-100.0, 0.0}
+    assert (np.diagonal(mask, axis1=1, axis2=2) == 0).all()
+    assert (mask == -100.0).any()
+
+
+@pytest.fixture(scope="module")
+def tiny_swin():
+    model = swinv2_tiny_test_descriptor()
+    images = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images, train=False)
+    return model, params
+
+
+def test_swin_output_shape(tiny_swin):
+    model, params = tiny_swin
+    images = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+    out = model.apply(params, images, train=False)
+    assert out.shape == (3, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swin_jit_deterministic(tiny_swin):
+    model, params = tiny_swin
+    images = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    f = jax.jit(lambda p, x: model.apply(p, x, train=False))
+    assert_allclose(np.asarray(f(params, images)), np.asarray(f(params, images)))
+
+
+def test_post_norm_zero_init_makes_identity_blocks(tiny_swin):
+    """With zero-init post-LN scales, the encoder is patch-embed + final ops
+    only at init: perturbing deep-block params must not change the output."""
+    model, params = tiny_swin
+    images = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    base = np.asarray(model.apply(params, images, train=False))
+
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    # Perturb an attention kernel deep in the net; zero-scale LN gates it off.
+    for key in flat:
+        if "attn" in "/".join(key) and key[-1] == "qkv_kernel":
+            flat[key] = flat[key] + 1.0
+            break
+    perturbed = {"params": flax.traverse_util.unflatten_dict(flat)}
+    out = np.asarray(model.apply(perturbed, images, train=False))
+    assert_allclose(out, base, atol=1e-5)
+
+
+def test_swin_base_config_structure():
+    cfg = SWINV2_BASE_256
+    assert cfg.num_features == 1024
+    # Stage resolutions: 64, 32, 16, 8 (window 16 caps at stages 3/4).
+    assert cfg.img_size // cfg.patch_size == 64
+
+
+def test_registry_has_swin():
+    from vsc22_tpu.models.registry import BACKBONES
+
+    assert "swinv2_base_256" in BACKBONES
+    assert "swinv2_tiny_test" in BACKBONES
+
+
+def test_cosine_window_attention_matches_torch_reference():
+    """Cross-check our cosine window attention against an independent torch
+    oracle implementing the published SwinV2 equations with shared weights."""
+    import torch
+
+    rng = np.random.default_rng(5)
+    dim, heads, window = 8, 2, 4
+    n = window * window
+    x = rng.standard_normal((3, n, dim)).astype(np.float32)
+
+    from vsc22_tpu.models.swinv2 import WindowAttention
+
+    attn = WindowAttention(dim, (window, window), heads, pretrained_window=0)
+    params = attn.init(jax.random.PRNGKey(0), jnp.asarray(x), None)
+    out_jax = np.asarray(attn.apply(params, jnp.asarray(x), None))
+
+    p = params["params"]
+    qkv_k = np.asarray(p["qkv_kernel"])  # [C, 3C]
+    q_b = np.asarray(p["q_bias"])
+    v_b = np.asarray(p["v_bias"])
+    w1, b1 = np.asarray(p["cpb_fc1"]["kernel"]), np.asarray(p["cpb_fc1"]["bias"])
+    w2 = np.asarray(p["cpb_fc2"]["kernel"])
+    proj_k, proj_b = np.asarray(p["proj"]["kernel"]), np.asarray(p["proj"]["bias"])
+    logit_scale = np.asarray(p["logit_scale"])
+
+    xt = torch.from_numpy(x)
+    bias = torch.from_numpy(np.concatenate([q_b, np.zeros_like(q_b), v_b]))
+    qkv = torch.nn.functional.linear(xt, torch.from_numpy(qkv_k.T), bias)
+    qkv = qkv.reshape(3, n, 3, heads, dim // heads).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    qn = torch.nn.functional.normalize(q, dim=-1)
+    kn = torch.nn.functional.normalize(k, dim=-1)
+    a = qn @ kn.transpose(-2, -1)
+    scale = torch.clamp(torch.from_numpy(logit_scale), max=float(np.log(100.0))).exp()
+    a = a * scale
+
+    table = torch.from_numpy(_relative_coords_table(window, window, 0))
+    cpb = torch.relu(table @ torch.from_numpy(w1) + torch.from_numpy(b1))
+    cpb = (cpb @ torch.from_numpy(w2)).reshape(-1, heads)
+    rel_idx = torch.from_numpy(_relative_position_index(window, window).reshape(-1))
+    rpb = cpb[rel_idx].reshape(n, n, heads).permute(2, 0, 1)
+    a = a + 16 * torch.sigmoid(rpb)
+    a = torch.softmax(a, dim=-1)
+    out = (a @ v).transpose(1, 2).reshape(3, n, dim)
+    out_torch = (out @ torch.from_numpy(proj_k) + torch.from_numpy(proj_b)).numpy()
+
+    assert_allclose(out_jax, out_torch, atol=2e-5)

@@ -54,10 +54,12 @@ def build_backbone(cfg: Dict[str, Any], **extra):
 
 def _register_builtins():
     # Imported lazily to avoid circular imports at package init.
-    from vsc22_tpu.models import vit
+    from vsc22_tpu.models import swinv2, vit
 
     BACKBONES.register(vit.vit_base_patch32_384_descriptor, name="vit_base_patch32_384")
     BACKBONES.register(vit.vit_tiny_test_descriptor, name="vit_tiny_test")
+    BACKBONES.register(swinv2.swinv2_base_256_descriptor, name="swinv2_base_256")
+    BACKBONES.register(swinv2.swinv2_tiny_test_descriptor, name="swinv2_tiny_test")
 
 
 _register_builtins()

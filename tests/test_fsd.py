@@ -1,0 +1,136 @@
+"""Frame Scenes Detection tests: letterbox removal, stack splitting, fallback."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vsc22_tpu.data import fsd
+
+
+def make_video(h, w, n=10, seed=0):
+    """Noisy content frames (high temporal variance everywhere)."""
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def letterboxed(frames, border=40):
+    """Add static black bars top/bottom with a sharp edge line."""
+    out = []
+    for f in frames:
+        h, w, _ = f.shape
+        canvas = np.zeros((h + 2 * border, w, 3), np.uint8)
+        canvas[border : border + h] = f
+        out.append(canvas)
+    return out
+
+
+def stacked_vertical(frames_a, frames_b, gap=24):
+    """Stack two videos vertically with a static black gap between them."""
+    out = []
+    for a, b in zip(frames_a, frames_b):
+        w = a.shape[1]
+        gap_block = np.zeros((gap, w, 3), np.uint8)
+        out.append(np.concatenate([a, gap_block, b], axis=0))
+    return out
+
+
+class TestSampling:
+    def test_under_cap_identity(self):
+        assert fsd.sample_edge_frames(7) == list(range(7))
+
+    def test_over_cap_downsamples(self):
+        idxs = fsd.sample_edge_frames(100)
+        assert len(idxs) == 20
+        assert idxs[0] == 0 and idxs[-1] == 95
+
+
+class TestRemoveEdges:
+    def test_strips_letterbox(self):
+        frames = letterboxed(make_video(200, 320), border=40)
+        var, canny = fsd.variance_and_edges_host(frames)
+        cut, cut_var, cut_canny = fsd.remove_edges(frames, var, canny)
+        h = cut[0].shape[0]
+        # Static 40px bars top+bottom should be mostly gone.
+        assert h <= 220
+        assert cut[0].shape[1] == 320  # width untouched
+        assert cut_var.shape == cut[0].shape[:2]
+
+    def test_keeps_full_frame_video(self):
+        frames = make_video(200, 320, seed=1)
+        var, canny = fsd.variance_and_edges_host(frames)
+        cut, _, _ = fsd.remove_edges(frames, var, canny)
+        assert cut[0].shape == frames[0].shape
+
+
+class TestSplitImgs:
+    def test_splits_vertical_stack(self):
+        a = make_video(160, 320, seed=2)
+        b = make_video(160, 320, seed=3)
+        frames = stacked_vertical(a, b)
+        var, canny = fsd.variance_and_edges_host(frames)
+        parts = fsd.split_imgs(frames, var, canny)
+        assert len(parts) == 2
+        heights = sorted(p[0][0].shape[0] for p in parts)
+        assert all(120 < h_ < 200 for h_ in heights)
+
+    def test_no_split_on_plain_video(self):
+        frames = make_video(200, 320, seed=4)
+        var, canny = fsd.variance_and_edges_host(frames)
+        parts = fsd.split_imgs(frames, var, canny)
+        assert len(parts) == 1
+        assert parts[0][0][0].shape == frames[0].shape
+
+
+class TestImageProcess:
+    def test_processes_stacked_letterboxed(self):
+        a = make_video(160, 320, seed=5)
+        b = make_video(160, 320, seed=6)
+        frames = [Image.fromarray(f) for f in stacked_vertical(a, b)]
+        processed, out = fsd.image_process(frames)
+        assert processed
+        # Two scenes -> 2x the frames.
+        assert len(out) == 2 * len(frames)
+        assert all(isinstance(x, Image.Image) for x in out)
+
+    def test_passthrough_on_plain_video(self):
+        frames = [Image.fromarray(f) for f in make_video(200, 320, seed=7)]
+        processed, out = fsd.image_process(frames)
+        assert not processed
+        assert out == frames
+
+    def test_short_videos_untouched(self):
+        frames = [Image.fromarray(f) for f in make_video(200, 320, n=3, seed=8)]
+        processed, out = fsd.image_process(frames)
+        assert not processed
+
+    def test_garbage_input_falls_back(self):
+        processed, out = fsd.image_process(["not-an-image"])
+        assert not processed
+        assert out == ["not-an-image"]
+
+
+class TestDeviceMaps:
+    def test_variance_matches_host(self):
+        frames = make_video(64, 96, seed=9)
+        var_h, _ = fsd.variance_and_edges_host(frames)
+        var_d, _ = fsd.variance_and_edges_device(frames)
+        np.testing.assert_allclose(var_d, var_h, rtol=1e-3, atol=1e-1)
+
+    def test_device_edges_detect_strong_line(self):
+        """Device edge map fires on a synthetic high-contrast boundary."""
+        frames = []
+        for f in make_video(120, 160, seed=10):
+            f = f.copy()
+            f[:60] = 0  # hard black/noise boundary at row 60
+            frames.append(f)
+        _, edges = fsd.variance_and_edges_device(frames)
+        row_density = edges.mean(axis=1)
+        assert row_density[59:62].max() > row_density.mean() + 0.2
+
+    def test_device_pipeline_splits_stack(self):
+        a = make_video(160, 320, seed=11)
+        b = make_video(160, 320, seed=12)
+        frames = [Image.fromarray(f) for f in stacked_vertical(a, b)]
+        processed, out = fsd.image_process(frames, use_device_maps=True)
+        assert processed
+        assert len(out) == 2 * len(frames)

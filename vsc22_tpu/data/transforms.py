@@ -1,0 +1,77 @@
+"""Per-backbone frame transforms as batched device ops.
+
+Parity targets (reference, for cross-checking — original implementation):
+  - D1/infer/src/transform.py:23-44 (sscd/eff/vit presets)
+  - D1/train/train_v68/vsc/.../datasets/transforms_utils.py (train twins)
+  - CLIP preprocessing: D1/infer/extract_query_feats.py:92-99
+    (Resize(224, bicubic) shortest-side + CenterCrop(224) + CLIP norm)
+
+The reference resizes per frame on CPU via PIL; here whole frame batches are
+resized with `jax.image.resize` (bicubic) and normalized on device in one
+fused XLA program. PIL and XLA bicubic kernels differ at the last bit; the
+descriptors are robust to this (they are trained with far harsher augs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PRESETS = {
+    # name: (mean, std)
+    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    "clip": ((0.48145466, 0.4578275, 0.40821073), (0.26862954, 0.26130258, 0.27577711)),
+    "vit": ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    "efficientnet": ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+}
+
+
+@functools.partial(jax.jit, static_argnames=("size", "preset", "out_dtype"))
+def resize_normalize(
+    frames_u8: jax.Array, size: int, preset: str = "vit", out_dtype=jnp.float32
+) -> jax.Array:
+    """[N, H, W, 3] uint8 -> [N, size, size, 3] normalized float.
+
+    Square resize (the sscd/eff/vit presets resize both dims, no crop).
+    """
+    mean, std = PRESETS[preset]
+    x = frames_u8.astype(jnp.float32) / 255.0
+    n = frames_u8.shape[0]
+    x = jax.image.resize(x, (n, size, size, 3), method="cubic")
+    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+    return x.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "out_dtype"))
+def clip_preprocess(frames_u8: jax.Array, size: int = 224, out_dtype=jnp.float32) -> jax.Array:
+    """CLIP preset: shortest-side resize to `size` (bicubic) + center crop.
+
+    Implemented statically for a fixed input shape per compile (the frame
+    pipeline feeds constant-resolution batches per video).
+    """
+    n, h, w, _ = frames_u8.shape
+    x = frames_u8.astype(jnp.float32) / 255.0
+    if h <= w:
+        new_h, new_w = size, max(int(round(w * size / h)), size)
+    else:
+        new_h, new_w = max(int(round(h * size / w)), size), size
+    x = jax.image.resize(x, (n, new_h, new_w, 3), method="cubic")
+    top = (new_h - size) // 2
+    left = (new_w - size) // 2
+    x = jax.lax.dynamic_slice(
+        x, (0, top, left, 0), (n, size, size, 3)
+    )
+    mean, std = PRESETS["clip"]
+    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+    return x.astype(out_dtype)
+
+
+def batch_frames(frames: list, chunk: int = 48) -> list:
+    """Split a stack of frames into <=chunk sub-batches (the reference's
+    LEN_THRESHOLD=48 inference micro-batching, extract_query_feats.py:55)."""
+    arr = np.stack([np.asarray(f) for f in frames])
+    return [arr[i : i + chunk] for i in range(0, len(arr), chunk)]

@@ -1,0 +1,109 @@
+"""CLIP visual encoder (ViT-L/14 style) in Flax.
+
+Parity target (reference, for cross-checking — original implementation):
+  D1/train/train_vid_score/video/clip.py:85-160 — OpenAI-CLIP visual tower:
+  patch conv (no bias), class embedding, learned positional embedding,
+  pre-LN transformer with QuickGELU MLPs, ln_pre/ln_post, projection
+  disabled (proj=None): the model returns ALL tokens post-ln_post and the
+  pipeline consumes the CLS token ([:, 0], 1024-d for ViT-L/14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vsc22_tpu.models.layers import MultiHeadAttention
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisualConfig:
+    img_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+
+    @property
+    def num_tokens(self) -> int:
+        return (self.img_size // self.patch_size) ** 2 + 1
+
+
+CLIP_VIT_L14 = CLIPVisualConfig()
+CLIP_TINY_TEST = CLIPVisualConfig(img_size=32, patch_size=8, width=32, layers=2, heads=2)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """CLIP's QuickGELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPBlock(nn.Module):
+    """Pre-LN residual attention block with QuickGELU MLP."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        y = MultiHeadAttention(self.heads, dtype=self.dtype, name="attn")(y)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = nn.Dense(4 * c, dtype=self.dtype, name="c_fc")(y)
+        y = quick_gelu(y)
+        y = nn.Dense(c, dtype=self.dtype, name="c_proj")(y)
+        return x + y
+
+
+class CLIPVisual(nn.Module):
+    """Returns all tokens [B, 1+P, width] after ln_post (CLS first)."""
+
+    cfg: CLIPVisualConfig = CLIP_VIT_L14
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        b, h, w, _ = images.shape
+        if h != cfg.img_size or w != cfg.img_size:
+            raise ValueError(f"expected {cfg.img_size}^2 input, got {h}x{w}")
+        scale = cfg.width**-0.5
+        x = nn.Conv(
+            cfg.width,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(images.astype(self.dtype))
+        x = x.reshape(b, -1, cfg.width)
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(scale), (cfg.width,)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, cfg.width)).astype(self.dtype), x], axis=1
+        )
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            (cfg.num_tokens, cfg.width),
+        )
+        x = x + pos.astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        for i in range(cfg.layers):
+            x = CLIPBlock(cfg.heads, dtype=self.dtype, name=f"block{i}")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="ln_post")(x)
+
+
+def clip_vit_l14(dtype=jnp.bfloat16) -> CLIPVisual:
+    return CLIPVisual(cfg=CLIP_VIT_L14, dtype=dtype)
+
+
+def clip_tiny_test(dtype=jnp.float32) -> CLIPVisual:
+    return CLIPVisual(cfg=CLIP_TINY_TEST, dtype=dtype)

@@ -1,0 +1,153 @@
+"""Matching-track tests: models, sim matrices, heatmap decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from vsc22_tpu.matching.decode import decode_all_settings, generate_matching_result
+from vsc22_tpu.matching.simmat import (
+    candidate_sim_matrices,
+    pad_sim_matrix,
+    select_best_split_segment,
+)
+from vsc22_tpu.models.hrnet import sam_hrnet_tiny_test
+from vsc22_tpu.models.mobilenetv3 import mobilenetv3_small
+
+
+class TestMobileNetV3:
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        model = mobilenetv3_small(num_classes=2)
+        images = jnp.zeros((2, 160, 160, 3))
+        variables = model.init(jax.random.PRNGKey(0), images, train=False)
+        return model, variables
+
+    def test_logits_shape(self, model_and_vars):
+        model, variables = model_and_vars
+        images = jax.random.normal(jax.random.PRNGKey(1), (3, 160, 160, 3))
+        out = model.apply(variables, images, train=False)
+        assert out.shape == (3, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_train_mode_updates_batch_stats(self, model_and_vars):
+        model, variables = model_and_vars
+        images = jax.random.normal(jax.random.PRNGKey(2), (2, 160, 160, 3))
+        out, mutated = model.apply(
+            variables, images, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )
+        assert out.shape == (2, 2)
+        old = jax.tree.leaves(variables["batch_stats"])[0]
+        new = jax.tree.leaves(mutated["batch_stats"])[0]
+        assert not np.allclose(np.asarray(old), np.asarray(new))
+
+    def test_param_count_matches_mnv3_small(self, model_and_vars):
+        _, variables = model_and_vars
+        n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+        # timm mobilenetv3_small_100 (2 classes): ~1.5M params.
+        assert 1.3e6 < n < 1.8e6
+
+
+class TestSamHRNet:
+    def test_full_resolution_heatmap(self):
+        model = sam_hrnet_tiny_test()
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)), train=False)
+        # stem_stride=1 keeps the input resolution; 2 output channels.
+        assert out.shape == (2, 32, 32, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_w18_channel_arithmetic(self):
+        from vsc22_tpu.models.hrnet import HRNET_W18_SAM
+
+        assert HRNET_W18_SAM.branch_channels == (18, 36, 72, 144)
+        # SAM fuse input: 64 stem + 270 branch channels = 334 (reference).
+        assert HRNET_W18_SAM.stem_channels + sum(HRNET_W18_SAM.branch_channels) == 334
+
+
+class TestSimMatrices:
+    def test_split_segment_selection(self):
+        rng = np.random.default_rng(0)
+        rfeat = rng.standard_normal((20, 8)).astype(np.float32)
+        rfeat /= np.linalg.norm(rfeat, axis=1, keepdims=True)
+        # 3 segments of 10 frames; make segment 1 strongly match the ref.
+        qfeat = rng.standard_normal((30, 8)).astype(np.float32) * 0.01
+        qfeat[10:20] = rfeat[:10]
+        best = select_best_split_segment(qfeat, rfeat, 10)
+        assert_allclose(best, qfeat[10:20])
+
+    def test_unsplit_passthrough(self):
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal((10, 8)).astype(np.float32)
+        r = rng.standard_normal((5, 8)).astype(np.float32)
+        assert_allclose(select_best_split_segment(q, r, 10), q)
+
+    def test_candidate_matrices_include_transpose(self):
+        rng = np.random.default_rng(2)
+        q = {"Q1": rng.standard_normal((6, 4)).astype(np.float32)}
+        r = {"R1": rng.standard_normal((9, 4)).astype(np.float32)}
+        feats, infos = candidate_sim_matrices(q, r, [("Q1", "R1", 0.5)], {"Q1": 6})
+        assert len(feats) == 2
+        assert feats[0].shape == (6, 9)
+        assert feats[1].shape == (9, 6)
+        assert_allclose(feats[1], feats[0].T)
+        assert infos[0] == ["Q1", "R1", 0.5]
+
+    def test_pad_sim_matrix(self):
+        sim = np.ones((5, 7), np.float32)
+        out = pad_sim_matrix(sim, 10)
+        assert out.shape == (10, 10, 3)
+        assert out[:5, :7].sum() == 5 * 7 * 3
+        assert out[5:].sum() == 0
+        # Truncation path
+        out2 = pad_sim_matrix(np.ones((20, 20), np.float32), 10)
+        assert out2.shape == (10, 10, 3)
+
+
+class TestDecode:
+    def make_heatmap(self, size=64, slope=1.0, q0=10, r0=14, length=30, value=0.9):
+        hm = np.zeros((size, size), np.float32)
+        for t in range(length):
+            q = q0 + t
+            r = int(round(r0 + slope * t))
+            if q < size and 0 <= r < size:
+                hm[q, r] = value
+        return hm
+
+    def test_clean_diagonal_decoded(self):
+        hm = self.make_heatmap()
+        rows = generate_matching_result([("Q1", "R1", hm, hm)], threshold=0.5, std_ratio=0.5)
+        assert len(rows) == 1
+        qid, rid, qs, rs, qe, re, score = rows[0]
+        assert (qs, rs) == (10, 14)
+        assert (qe, re) == (39, 43)
+        assert score > 0.5
+
+    def test_negative_slope_rejected(self):
+        hm = np.zeros((64, 64), np.float32)
+        for t in range(30):
+            hm[10 + t, 50 - t] = 0.9
+        rows = generate_matching_result([("Q1", "R1", hm, hm)], threshold=0.5)
+        assert rows == []
+
+    def test_noise_only_no_matches(self):
+        rng = np.random.default_rng(3)
+        hm = (rng.random((64, 64)) * 0.04).astype(np.float32)
+        rows = generate_matching_result([("Q1", "R1", hm, hm)], threshold=0.05)
+        assert rows == []
+
+    def test_two_segments_found(self):
+        hm = self.make_heatmap() + self.make_heatmap(q0=45, r0=2, length=15)
+        rows = generate_matching_result([("Q1", "R1", hm, hm)], threshold=0.5, std_ratio=0.5)
+        assert len(rows) == 2
+
+    def test_decode_all_settings_unions(self):
+        hm = self.make_heatmap(value=0.2)  # visible only at low thresholds
+        rows = decode_all_settings([("Q1", "R1", hm, hm)])
+        assert len(rows) >= 1
+        # Output keys unique.
+        keys = {tuple(r[:6]) for r in rows}
+        assert len(keys) == len(rows)

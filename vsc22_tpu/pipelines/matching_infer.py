@@ -1,0 +1,205 @@
+"""Matching-track end-to-end inference (stages 1-6).
+
+Parity target (reference, for cross-checking — original implementation):
+  M1/infer/infer_matching.py:60-293:
+  1. descriptors: FSD frame pipeline -> 4-model ensemble -> PCA(512)
+     (shared with the descriptor track; no VED gating here);
+  2. query score-norm: beta=1.5, nk=10;
+  3. recall: all (query,ref) pairs with frame sim > SEARCH_THRESHOLD=-0.1
+     (kNN-1024 + exact range fallback), max-aggregated per pair;
+  4. classify filter: 160x160 padded sim matrices (+ transpose) -> 2-fold
+     MobileNetV3 ensemble softmax; keep pairs with max prob > 0.0005;
+  5. SAM refine: 224x224 padded sims -> 2-fold HRNet ensemble x transpose
+     TTA -> per-pair probability heatmap;
+  6. decode at 3 (threshold, std_ratio) settings, union by max score.
+
+TPU design: stages 4/5 run as fixed-shape device batches; recall is the
+sharded GEMM threshold search; only the RANSAC decode stays on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsc22_tpu.core.types import VideoFeature
+from vsc22_tpu.matching.decode import generate_matching_result
+from vsc22_tpu.matching.simmat import candidate_sim_matrices, pad_sim_matrix, select_best_split_segment
+from vsc22_tpu.retrieval.packed import PackedFeatures
+from vsc22_tpu.retrieval.search import SimilaritySearcher
+
+SEARCH_THRESHOLD = -0.1
+MATCH_CLS_THRESHOLD = 0.0005
+CLS_RESOLUTION = 160
+REFINE_RESOLUTION = 224
+DECODE_SETTINGS = ((0.35, 0.5), (0.1, 1.25), (0.001, 2.0))
+
+
+def _l2(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def recall_candidates(
+    sn_queries: List[VideoFeature],
+    sn_refs: List[VideoFeature],
+    threshold: float = SEARCH_THRESHOLD,
+    mesh=None,
+) -> List[Tuple[str, str, float]]:
+    """Stage 3: every (query, ref) video pair with any frame sim > threshold,
+    scored by its max frame similarity, sorted descending."""
+    packed_refs = PackedFeatures.from_video_features(sn_refs)
+    searcher = SimilaritySearcher(packed_refs.features[: packed_refs.num_rows], mesh=mesh)
+    results: Dict[Tuple[str, str], float] = {}
+    for vf in sn_queries:
+        rows, cols, scores = searcher.threshold_search(vf.feature, threshold)
+        r_vids = packed_refs.video_idx[cols]
+        for rv, sc in zip(r_vids, scores):
+            key = (vf.video_id, packed_refs.video_ids[rv])
+            if key not in results or sc > results[key]:
+                results[key] = float(sc)
+    out = [(q, r, s) for (q, r), s in results.items()]
+    out.sort(key=lambda t: -t[2])
+    return out
+
+
+@dataclasses.dataclass
+class ClassifyEnsemble:
+    """2-fold MobileNetV3 candidate filter over padded sim-matrix images."""
+
+    models: Sequence  # [(model, variables)]
+    resolution: int = CLS_RESOLUTION
+    batch: int = 256
+
+    def __post_init__(self):
+        self._fns = [
+            (jax.jit(lambda v, im, m=model: jax.nn.softmax(m.apply(v, im, train=False), axis=1)[:, 1]), variables)
+            for model, variables in self.models
+        ]
+
+    def predict(self, sim_mats: Sequence[np.ndarray]) -> np.ndarray:
+        if not sim_mats:
+            return np.zeros((0,), np.float32)
+        images = np.stack([pad_sim_matrix(s, self.resolution) for s in sim_mats])
+        probs = np.zeros(len(images), np.float32)
+        for start in range(0, len(images), self.batch):
+            block = images[start : start + self.batch]
+            valid = len(block)
+            if valid < self.batch:
+                block = np.concatenate(
+                    [block, np.zeros((self.batch - valid,) + block.shape[1:], block.dtype)]
+                )
+            x = jnp.asarray(block)
+            preds = [np.asarray(fn(variables, x))[:valid] for fn, variables in self._fns]
+            probs[start : start + valid] = sum(preds) / len(preds)
+        return probs
+
+
+@dataclasses.dataclass
+class RefineEnsemble:
+    """2-fold SAM-HRNet heatmaps with transpose test-time augmentation."""
+
+    models: Sequence  # [(model, variables)]
+    resolution: int = REFINE_RESOLUTION
+    batch: int = 16
+
+    def __post_init__(self):
+        self._fns = [
+            (
+                jax.jit(
+                    lambda v, im, m=model: jax.nn.softmax(
+                        m.apply(v, im, train=False), axis=-1
+                    )[..., 1]
+                ),
+                variables,
+            )
+            for model, variables in self.models
+        ]
+
+    def predict(
+        self, meta: Sequence[Tuple[str, str, np.ndarray, np.ndarray]]
+    ) -> List[Tuple[str, str, np.ndarray, np.ndarray]]:
+        """meta rows: (qid, rid, qfeat, rfeat); returns (qid, rid, prob_map,
+        raw_sim) with maps cropped back to the true sim shape."""
+        out = []
+        for start in range(0, len(meta), self.batch):
+            chunk = meta[start : start + self.batch]
+            sims = [q @ r.T for _, _, q, r in chunk]
+            images = np.stack([pad_sim_matrix(s, self.resolution) for s in sims])
+            valid = len(images)
+            if valid < self.batch:
+                images = np.concatenate(
+                    [images, np.zeros((self.batch - valid,) + images.shape[1:], images.dtype)]
+                )
+            x = jnp.asarray(images)
+            xt = jnp.swapaxes(x, 1, 2)
+            acc = None
+            for fn, variables in self._fns:
+                p = np.asarray(fn(variables, x))
+                pt = np.swapaxes(np.asarray(fn(variables, xt)), 1, 2)
+                contrib = (p + pt) / 2.0
+                acc = contrib if acc is None else acc + contrib
+            acc = acc / len(self._fns)
+            for i, (qid, rid, qf, rf) in enumerate(chunk):
+                h = min(qf.shape[0], self.resolution)
+                w = min(rf.shape[0], self.resolution)
+                out.append((qid, rid, acc[i, :h, :w], sims[i][:h, :w]))
+        return out
+
+
+def matching_inference(
+    queries: List[VideoFeature],
+    refs: List[VideoFeature],
+    sn_queries: List[VideoFeature],
+    sn_refs: List[VideoFeature],
+    query_video_len_map: Dict[str, int],
+    classify: ClassifyEnsemble,
+    refine: RefineEnsemble,
+    cls_threshold: float = MATCH_CLS_THRESHOLD,
+    mesh=None,
+) -> List[List]:
+    """Stages 3-6. Returns match rows
+    [query_id, ref_id, query_start, query_end, ref_start, ref_end, score]."""
+    candidates = recall_candidates(sn_queries, sn_refs, mesh=mesh)
+
+    queries_n = [dataclasses.replace(v, feature=_l2(v.feature)) for v in queries]
+    refs_n = [dataclasses.replace(v, feature=_l2(v.feature)) for v in refs]
+    query_map = {v.video_id: v.feature for v in queries_n}
+    ref_map = {v.video_id: v.feature for v in refs_n}
+
+    # Stage 4: classify filter (sim + transpose per candidate).
+    feats, infos = candidate_sim_matrices(query_map, ref_map, candidates, query_video_len_map)
+    probs = classify.predict(feats)
+    best_prob: Dict[Tuple[str, str], float] = {}
+    for (qid, rid, _), p in zip(infos, probs):
+        key = (qid, rid)
+        best_prob[key] = max(best_prob.get(key, 0.0), float(p))
+    selected = [(q, r, p) for (q, r), p in best_prob.items() if p > cls_threshold]
+
+    # Stage 5: SAM refinement.
+    meta = [
+        (
+            qid,
+            rid,
+            select_best_split_segment(query_map[qid], ref_map[rid], query_video_len_map[qid]),
+            ref_map[rid],
+        )
+        for qid, rid, _ in selected
+    ]
+    refined = refine.predict(meta)
+
+    # Stage 6: decode at three operating points; union by max score.
+    best: Dict[Tuple, float] = {}
+    for threshold, std_ratio in DECODE_SETTINGS:
+        for qid, rid, qs, rs, qe, re, score in generate_matching_result(
+            refined, threshold=threshold, std_ratio=std_ratio
+        ):
+            key = (qid, rid, float(qs), float(qe), float(rs), float(re))
+            best[key] = max(best.get(key, -np.inf), score)
+    return [
+        [qid, rid, qs, qe, rs, re, score]
+        for (qid, rid, qs, qe, rs, re), score in best.items()
+    ]

@@ -264,6 +264,38 @@ class SimilaritySearcher:
         return q_idx[order], r_idx[order], s[order]
 
 
+    # ------------------------------------------------------------------
+    def threshold_search(
+        self, queries: np.ndarray, threshold: float, k0: int = 1024
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All (row, col, score) with score > threshold (exact range search).
+
+        Reference semantics (M1/infer/infer_matching.py:218-247): k-NN at
+        k=1024 per row, with an unbounded range-search fallback for rows
+        whose k-th hit still clears the threshold. Here rows that overflow
+        are rescanned with a doubled k until exact.
+        """
+        nq = queries.shape[0]
+        k = max(1, min(k0, self.num_refs))
+        scores, indices = self.row_topk(queries, k)
+        while k < self.num_refs:
+            overflow = scores[:, -1] > threshold
+            if not overflow.any():
+                break
+            k = min(self.num_refs, k * 2)
+            new_s, new_i = self.row_topk(queries[overflow], k)
+            grown_s = np.full((nq, k), NEG_INF, np.float32)
+            grown_i = np.zeros((nq, k), np.int32)
+            grown_s[:, : scores.shape[1]] = scores
+            grown_i[:, : indices.shape[1]] = indices
+            grown_s[overflow] = new_s
+            grown_i[overflow] = new_i
+            scores, indices = grown_s, grown_i
+        mask = scores > threshold
+        rows = np.repeat(np.arange(nq, dtype=np.int64), scores.shape[1]).reshape(nq, -1)
+        return rows[mask], indices[mask].astype(np.int64), scores[mask]
+
+
 def knn_search(
     queries: np.ndarray, refs: np.ndarray, k: int, mesh: Optional[Mesh] = None
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -170,9 +170,34 @@ def _dp_matrix(sim_mat: np.ndarray, discontinue: int = 3, min_sim: float = 0.0):
     dp[i,j] extends the best of (diag, up+0.5s, left+0.5s); cells whose
     accumulated unmatched run (sim < min_sim along the chosen path) exceeds
     `discontinue` are frozen at their own similarity with no back pointer.
-    Exact port of the reference numba kernel's semantics; the inner loop is
-    sequential by construction (left-dependency + conditional freeze).
+    Same semantics as the reference numba kernel; the inner loop is
+    sequential by construction (left-dependency + conditional freeze), so it
+    runs in native C++ when the toolchain is available
+    (native/vta_kernels.cpp) with this numpy implementation as fallback.
     """
+    from vsc22_tpu.native import load_library
+
+    lib = load_library()
+    if lib is not None:
+        import ctypes
+
+        m, n = sim_mat.shape[:2]
+        sim64 = np.ascontiguousarray(sim_mat, np.float64)
+        dp = np.empty((m, n), np.float64)
+        accu = np.empty((m, n), np.int32)
+        back = np.empty((m, n), np.int8)
+        lib.vta_dp_fill(
+            sim64.ctypes.data_as(ctypes.c_void_p),
+            m,
+            n,
+            int(discontinue),
+            float(min_sim),
+            dp.ctypes.data_as(ctypes.c_void_p),
+            accu.ctypes.data_as(ctypes.c_void_p),
+            back.ctypes.data_as(ctypes.c_void_p),
+        )
+        return dp, accu, back
+
     dp = sim_mat.astype(np.float64).copy()
     m, n = sim_mat.shape[:2]
     accu = np.zeros((m, n), np.int32)

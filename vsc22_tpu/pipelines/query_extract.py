@@ -73,7 +73,10 @@ class DescriptorExtractor:
     """One ensemble member: Flax model + params + input preset.
 
     Frames run in fixed-shape LEN_THRESHOLD micro-batches (zero-padded tail)
-    so each model compiles exactly once.
+    so each model compiles exactly once. With a mesh, the frame axis of each
+    micro-batch is sharded over the ``data`` axis — the framework's sequence
+    parallelism: a long video's frames spread across chips and the per-frame
+    descriptors gather back automatically (SURVEY §2.9's frame-axis plan).
     """
 
     model: object
@@ -81,11 +84,23 @@ class DescriptorExtractor:
     size: int
     preset: str = "vit"
     chunk: int = LEN_THRESHOLD
+    mesh: object = None
 
     def __post_init__(self):
-        self._fwd = jax.jit(
-            lambda params, images: self.model.apply(params, images, train=False)
-        )
+        fwd = lambda params, images: self.model.apply(params, images, train=False)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape["data"]
+            if self.chunk % dp:
+                self.chunk = -(-self.chunk // dp) * dp
+            self._fwd = jax.jit(
+                fwd,
+                in_shardings=(None, NamedSharding(self.mesh, P("data"))),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        else:
+            self._fwd = jax.jit(fwd)
 
     def extract(self, frames: Sequence) -> np.ndarray:
         # FSD scene crops give heterogeneous frame shapes within one video:

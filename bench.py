@@ -30,7 +30,7 @@ def main():
     from vsc22_tpu.utils.benchmark import time_scanned
 
     model = vit_base_patch32_384_descriptor(dtype=jnp.bfloat16)
-    batch = 128
+    batch = 64  # fastest point of the measured 64..512 sweep
     images = jax.random.normal(jax.random.PRNGKey(0), (batch, 384, 384, 3), jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(1), images[:1], train=False)
 

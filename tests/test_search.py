@@ -92,3 +92,20 @@ def test_searcher_handles_tiny_ref_sets():
     bs, bi = brute_knn(q, r, 3)
     assert_allclose(scores, bs, atol=1e-5)
     assert (idx == bi).all()
+
+
+def test_pallas_row_max_matches_brute(random_features):
+    from vsc22_tpu.ops.pallas_sim import row_max_gemm
+
+    q, r = random_features
+    out = row_max_gemm(q, r)
+    np.testing.assert_allclose(out, (q @ r.T).max(axis=1), atol=1e-5)
+
+
+def test_pallas_row_max_single_row_and_tiny():
+    from vsc22_tpu.ops.pallas_sim import row_max_gemm
+
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((1, 8)).astype(np.float32)
+    r = rng.standard_normal((3, 8)).astype(np.float32)
+    np.testing.assert_allclose(row_max_gemm(q, r), (q @ r.T).max(axis=1), atol=1e-6)

@@ -53,8 +53,24 @@ def _noise_bias(
     nk: int,
     mesh: Optional[Mesh] = None,
 ) -> List[np.ndarray]:
-    """Per-query-frame bias = -beta * mean(top-nk sims to the noise corpus)."""
+    """Per-query-frame bias = -beta * mean(top-nk sims to the noise corpus).
+
+    nk=1 (the descriptor-track default) uses the fused Pallas GEMM+row-max
+    kernel — the similarity matrix never touches HBM.
+    """
     noise = np.concatenate([r.feature for r in score_norm_refs], axis=0)
+    if nk == 1 and mesh is None:
+        from vsc22_tpu.ops.pallas_sim import row_max_gemm
+
+        all_q = np.concatenate([q.feature for q in queries], axis=0)
+        maxes = row_max_gemm(all_q, noise)
+        biases = []
+        row = 0
+        for q in queries:
+            n = len(q.feature)
+            biases.append(-beta * maxes[row : row + n, None])
+            row += n
+        return biases
     searcher = SimilaritySearcher(noise, mesh=mesh)
     biases = []
     for q in queries:

@@ -90,3 +90,59 @@ def test_extractor_sequence_parallel_matches_single(cpu_mesh):
     b = sharded.extract(frames)
     np.testing.assert_allclose(a, b, atol=1e-4)
     assert sharded.chunk % cpu_mesh.shape["data"] == 0
+
+
+def test_matching_cli_plumbing(tmp_path):
+    """Matching CLI end-to-end with tiny models on planted descriptors."""
+    from vsc22_tpu.pipelines import matching_cli
+
+    rng = np.random.default_rng(3)
+    dim = 16
+
+    def normed(x):
+        return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+    refs = [
+        VideoFeature(
+            video_id=f"R{i:06d}",
+            feature=normed(rng.standard_normal((20, dim))),
+            timestamps=np.arange(20.0),
+        )
+        for i in range(5)
+    ]
+    queries = []
+    for i in range(3):
+        f = normed(rng.standard_normal((15, dim)))
+        if i == 0:
+            f[4:12] = refs[0].feature[3:11]
+        queries.append(
+            VideoFeature(video_id=f"Q{i:06d}", feature=f, timestamps=np.arange(15.0))
+        )
+    noise = [
+        VideoFeature(
+            video_id=f"R{900+i:06d}",
+            feature=normed(rng.standard_normal((20, dim))),
+            timestamps=np.arange(20.0),
+        )
+        for i in range(5)
+    ]
+    qp, rp, np_ = tmp_path / "q.npz", tmp_path / "r.npz", tmp_path / "n.npz"
+    store_features(str(qp), queries)
+    store_features(str(rp), refs)
+    store_features(str(np_), noise)
+    out = matching_cli.main(
+        [
+            "--query_features", str(qp),
+            "--ref_features", str(rp),
+            "--norm_refs", str(np_),
+            "--out", str(tmp_path / "matching.csv"),
+            "--tiny",
+            "--cls_threshold", "0.0",
+        ]
+    )
+    import pandas as pd
+
+    df = pd.read_csv(out)
+    assert list(df.columns) == [
+        "query_id", "ref_id", "query_start", "query_end", "ref_start", "ref_end", "score",
+    ]

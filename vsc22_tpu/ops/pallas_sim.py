@@ -38,6 +38,7 @@ def _row_max_kernel(q_ref, r_ref, out_ref):
         r_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full f32 (multi-pass) on MXU
     )  # [TQ, TR] on the MXU
     block_max = jnp.max(sims, axis=1, keepdims=True)  # [TQ, 1]
     out_ref[:] = jnp.maximum(out_ref[:], jnp.broadcast_to(block_max, out_ref.shape))
@@ -70,7 +71,7 @@ def row_max_gemm(
     queries: np.ndarray,
     refs: np.ndarray,
     num_valid_refs: int | None = None,
-    tile_q: int = 256,
+    tile_q: int = 2048,
     tile_r: int = 512,
 ) -> np.ndarray:
     """max_j queries @ refs.T per row, fused on device. Returns [Nq] f32.

@@ -177,3 +177,37 @@ class TestLocalization:
         for match in matches:
             assert match.query_id == 1
             assert match.ref_id == 3
+
+
+class TestSegmentPR:
+    def test_perfect_overlap(self):
+        from vsc22_tpu.align.metrics import segment_precision_recall
+
+        gt = [[10, 20, 30, 40]]
+        pr = segment_precision_recall(gt, gt)
+        assert pr["precision"] == pytest.approx(1.0)
+        assert pr["recall"] == pytest.approx(1.0)
+
+    def test_half_coverage(self):
+        from vsc22_tpu.align.metrics import segment_precision_recall
+
+        gt = [[0, 0, 20, 20]]
+        pred = [[0, 0, 10, 10]]  # covers half of each axis
+        pr = segment_precision_recall(pred, gt)
+        assert pr["recall"] == pytest.approx(0.5)
+        assert pr["precision"] == pytest.approx(1.0)
+
+    def test_disjoint(self):
+        from vsc22_tpu.align.metrics import segment_precision_recall
+
+        pr = segment_precision_recall([[0, 0, 5, 5]], [[50, 50, 60, 60]])
+        assert pr["recall"] == 0.0
+        assert pr["f1"] == 0.0
+
+    def test_macro_average(self):
+        from vsc22_tpu.align.metrics import evaluate_alignment
+
+        gt = {("Q1", "R1"): [[0, 0, 10, 10]], ("Q2", "R2"): [[0, 0, 10, 10]]}
+        preds = {("Q1", "R1"): [[0, 0, 10, 10]]}
+        out = evaluate_alignment(preds, gt)
+        assert out["recall"] == pytest.approx(0.5)

@@ -1,0 +1,230 @@
+"""Weight-porting tests: AugReg npz -> ViT, torch state_dict -> SwinV2."""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from vsc22_tpu.models.vit import ViTConfig, VisionTransformer
+from vsc22_tpu.utils.port_weights import port_swinv2_torch_state_dict, port_vit_augreg_npz
+
+TINY = ViTConfig(img_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2)
+
+
+def make_augreg_npz(rng, cfg: ViTConfig):
+    """Synthesize an AugReg-convention npz for the tiny config."""
+    c = cfg.embed_dim
+    h = cfg.num_heads
+    hd = c // h
+    n_tokens = cfg.num_patches + 1
+    npz = {
+        "embedding/kernel": rng.normal(size=(cfg.patch_size, cfg.patch_size, 3, c)),
+        "embedding/bias": rng.normal(size=(c,)),
+        "cls": rng.normal(size=(1, 1, c)),
+        "Transformer/posembed_input/pos_embedding": rng.normal(size=(1, n_tokens, c)),
+        "Transformer/encoder_norm/scale": rng.normal(size=(c,)) * 0.1 + 1,
+        "Transformer/encoder_norm/bias": rng.normal(size=(c,)) * 0.1,
+    }
+    for i in range(cfg.depth):
+        b = f"Transformer/encoderblock_{i}"
+        npz[f"{b}/LayerNorm_0/scale"] = rng.normal(size=(c,)) * 0.1 + 1
+        npz[f"{b}/LayerNorm_0/bias"] = rng.normal(size=(c,)) * 0.1
+        npz[f"{b}/LayerNorm_2/scale"] = rng.normal(size=(c,)) * 0.1 + 1
+        npz[f"{b}/LayerNorm_2/bias"] = rng.normal(size=(c,)) * 0.1
+        att = f"{b}/MultiHeadDotProductAttention_1"
+        for n in ("query", "key", "value"):
+            npz[f"{att}/{n}/kernel"] = rng.normal(size=(c, h, hd)) * 0.2
+            npz[f"{att}/{n}/bias"] = rng.normal(size=(h, hd)) * 0.1
+        npz[f"{att}/out/kernel"] = rng.normal(size=(h, hd, c)) * 0.2
+        npz[f"{att}/out/bias"] = rng.normal(size=(c,)) * 0.1
+        mlp = f"{b}/MlpBlock_3"
+        npz[f"{mlp}/Dense_0/kernel"] = rng.normal(size=(c, 4 * c)) * 0.2
+        npz[f"{mlp}/Dense_0/bias"] = rng.normal(size=(4 * c,)) * 0.1
+        npz[f"{mlp}/Dense_1/kernel"] = rng.normal(size=(4 * c, c)) * 0.2
+        npz[f"{mlp}/Dense_1/bias"] = rng.normal(size=(c,)) * 0.1
+    return {k: v.astype(np.float32) for k, v in npz.items()}
+
+
+def torch_oracle_vit(npz, cfg: ViTConfig, images: np.ndarray) -> np.ndarray:
+    """Independent torch forward implementing the AugReg ViT semantics."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in npz.items()}
+    x = torch.from_numpy(images)  # [B, H, W, 3]
+    b = x.shape[0]
+    c, h = cfg.embed_dim, cfg.num_heads
+    hd = c // h
+    # Patch embed: conv with stride=kernel == unfold + matmul.
+    k = t["embedding/kernel"].reshape(-1, c)  # [(P*P*3), C]
+    p = cfg.patch_size
+    patches = (
+        x.unfold(1, p, p).unfold(2, p, p)  # [B, gh, gw, 3, p, p]
+        .permute(0, 1, 2, 4, 5, 3)  # [B, gh, gw, p, p, 3]
+        .reshape(b, -1, p * p * 3)
+    )
+    tok = patches @ k + t["embedding/bias"]
+    cls = t["cls"].expand(b, 1, c)
+    tok = torch.cat([cls, tok], dim=1) + t["Transformer/posembed_input/pos_embedding"]
+
+    def ln(x, scale, bias):
+        return F.layer_norm(x, (c,), scale, bias)
+
+    for i in range(cfg.depth):
+        bl = f"Transformer/encoderblock_{i}"
+        att = f"{bl}/MultiHeadDotProductAttention_1"
+        y = ln(tok, t[f"{bl}/LayerNorm_0/scale"], t[f"{bl}/LayerNorm_0/bias"])
+        q = y @ t[f"{att}/query/kernel"].reshape(c, c) + t[f"{att}/query/bias"].reshape(c)
+        kk = y @ t[f"{att}/key/kernel"].reshape(c, c) + t[f"{att}/key/bias"].reshape(c)
+        v = y @ t[f"{att}/value/kernel"].reshape(c, c) + t[f"{att}/value/bias"].reshape(c)
+        L = tok.shape[1]
+        q = q.reshape(b, L, h, hd).transpose(1, 2)
+        kk = kk.reshape(b, L, h, hd).transpose(1, 2)
+        v = v.reshape(b, L, h, hd).transpose(1, 2)
+        a = torch.softmax(q @ kk.transpose(-2, -1) / np.sqrt(hd), dim=-1)
+        y = (a @ v).transpose(1, 2).reshape(b, L, c)
+        y = y @ t[f"{att}/out/kernel"].reshape(c, c) + t[f"{att}/out/bias"]
+        tok = tok + y
+        y = ln(tok, t[f"{bl}/LayerNorm_2/scale"], t[f"{bl}/LayerNorm_2/bias"])
+        mlp = f"{bl}/MlpBlock_3"
+        y = y @ t[f"{mlp}/Dense_0/kernel"] + t[f"{mlp}/Dense_0/bias"]
+        y = F.gelu(y)
+        y = y @ t[f"{mlp}/Dense_1/kernel"] + t[f"{mlp}/Dense_1/bias"]
+        tok = tok + y
+    tok = ln(tok, t["Transformer/encoder_norm/scale"], t["Transformer/encoder_norm/bias"])
+    return tok.numpy()
+
+
+def test_vit_port_matches_torch_oracle():
+    rng = np.random.default_rng(0)
+    npz = make_augreg_npz(rng, TINY)
+    model = VisionTransformer(TINY)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    params = port_vit_augreg_npz(npz, template)
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(model.apply(params, jnp.asarray(images), train=False))
+    oracle = torch_oracle_vit(npz, TINY, images)
+    assert_allclose(ours, oracle, atol=2e-4)
+
+
+def test_vit_port_into_descriptor_wrapper():
+    from vsc22_tpu.models.vit import VitDescriptor
+
+    rng = np.random.default_rng(1)
+    npz = make_augreg_npz(rng, TINY)
+    model = VitDescriptor(cfg=TINY, head_dim=32, out_dim=8)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    params = port_vit_augreg_npz(npz, template)
+    # Backbone weights replaced; head untouched.
+    flat_t = flax.traverse_util.flatten_dict(template["params"])
+    flat_p = flax.traverse_util.flatten_dict(params["params"])
+    assert_allclose(
+        flat_p[("backbone", "cls_token")], npz["cls"].reshape(1, 1, 16), atol=1e-6
+    )
+    assert_allclose(flat_p[("head", "kernel")], flat_t[("head", "kernel")])
+
+
+def test_pos_embed_interpolation():
+    rng = np.random.default_rng(2)
+    npz = make_augreg_npz(rng, TINY)
+    # Pretend the checkpoint was trained at a smaller grid (2x2=4 patches).
+    npz["Transformer/posembed_input/pos_embedding"] = rng.normal(
+        size=(1, 5, 16)
+    ).astype(np.float32)
+    model = VisionTransformer(TINY)  # needs 4+1... our tiny has 4 patches: same
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    params = port_vit_augreg_npz(npz, template)  # no resize needed (5 == 5)
+    # Now force a mismatch: bigger model (64/16=4x4=16 patches + cls = 17).
+    big = ViTConfig(img_size=64, patch_size=16, embed_dim=16, depth=2, num_heads=2)
+    model_b = VisionTransformer(big)
+    template_b = model_b.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    params_b = port_vit_augreg_npz(npz, template_b)
+    pos = flax.traverse_util.flatten_dict(params_b["params"])[("pos_embed",)]
+    assert pos.shape == (1, 17, 16)
+
+
+def test_swinv2_port_roundtrip_shapes():
+    """Build a torch-convention state_dict from our params and port it back."""
+    from vsc22_tpu.models.swinv2 import SWINV2_TINY_TEST, SwinTransformerV2
+
+    model = SwinTransformerV2(cfg=SWINV2_TINY_TEST)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    flat = flax.traverse_util.flatten_dict(template["params"])
+
+    rng = np.random.default_rng(3)
+    sd = {}
+
+    def rand_like(key):
+        return rng.normal(size=flat[key].shape).astype(np.float32)
+
+    sd["patch_embed.proj.weight"] = rand_like(("patch_embed", "kernel")).transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = rand_like(("patch_embed", "bias"))
+    sd["patch_embed.norm.weight"] = rand_like(("patch_norm", "scale"))
+    sd["patch_embed.norm.bias"] = rand_like(("patch_norm", "bias"))
+    for key in flat:
+        name = "/".join(key)
+        if not key[0].startswith("stage"):
+            continue
+        stage = int(key[0][5])
+        block = int(key[0].split("block")[1])
+        t = f"layers.{stage}.blocks.{block}"
+        if key[1:] == ("norm1", "scale"):
+            sd[f"{t}.norm1.weight"] = rand_like(key)
+        elif key[1:] == ("norm1", "bias"):
+            sd[f"{t}.norm1.bias"] = rand_like(key)
+        elif key[1:] == ("norm2", "scale"):
+            sd[f"{t}.norm2.weight"] = rand_like(key)
+        elif key[1:] == ("norm2", "bias"):
+            sd[f"{t}.norm2.bias"] = rand_like(key)
+        elif key[1:] == ("attn", "logit_scale"):
+            sd[f"{t}.attn.logit_scale"] = rand_like(key)
+        elif key[1:] == ("attn", "qkv_kernel"):
+            sd[f"{t}.attn.qkv.weight"] = rand_like(key).T
+        elif key[1:] == ("attn", "q_bias"):
+            sd[f"{t}.attn.q_bias"] = rand_like(key)
+        elif key[1:] == ("attn", "v_bias"):
+            sd[f"{t}.attn.v_bias"] = rand_like(key)
+        elif key[1:] == ("attn", "cpb_fc1", "kernel"):
+            sd[f"{t}.attn.cpb_mlp.0.weight"] = rand_like(key).T
+        elif key[1:] == ("attn", "cpb_fc1", "bias"):
+            sd[f"{t}.attn.cpb_mlp.0.bias"] = rand_like(key)
+        elif key[1:] == ("attn", "cpb_fc2", "kernel"):
+            sd[f"{t}.attn.cpb_mlp.2.weight"] = rand_like(key).T
+        elif key[1:] == ("attn", "proj", "kernel"):
+            sd[f"{t}.attn.proj.weight"] = rand_like(key).T
+        elif key[1:] == ("attn", "proj", "bias"):
+            sd[f"{t}.attn.proj.bias"] = rand_like(key)
+        elif key[1:] == ("mlp", "fc1", "kernel"):
+            sd[f"{t}.mlp.fc1.weight"] = rand_like(key).T
+        elif key[1:] == ("mlp", "fc1", "bias"):
+            sd[f"{t}.mlp.fc1.bias"] = rand_like(key)
+        elif key[1:] == ("mlp", "fc2", "kernel"):
+            sd[f"{t}.mlp.fc2.weight"] = rand_like(key).T
+        elif key[1:] == ("mlp", "fc2", "bias"):
+            sd[f"{t}.mlp.fc2.bias"] = rand_like(key)
+    for key in flat:
+        if key[0].startswith("merge"):
+            stage = int(key[0][5])
+            if key[1:] == ("reduction", "kernel"):
+                sd[f"layers.{stage}.downsample.reduction.weight"] = rand_like(key).T
+            elif key[1:] == ("norm", "scale"):
+                sd[f"layers.{stage}.downsample.norm.weight"] = rand_like(key)
+            elif key[1:] == ("norm", "bias"):
+                sd[f"layers.{stage}.downsample.norm.bias"] = rand_like(key)
+    sd["norm.weight"] = rand_like(("norm", "scale"))
+    sd["norm.bias"] = rand_like(("norm", "bias"))
+    sd["output_proj.weight"] = rand_like(("output_proj", "kernel")).T
+    sd["output_proj.bias"] = rand_like(("output_proj", "bias"))
+
+    params = port_swinv2_torch_state_dict(sd, template)
+    flat_p = flax.traverse_util.flatten_dict(params["params"])
+    assert_allclose(flat_p[("patch_embed", "kernel")],
+                    sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0), atol=1e-6)
+    assert_allclose(flat_p[("norm", "scale")], sd["norm.weight"], atol=1e-6)
+    qkv = flat_p[("stage0_block0", "attn", "qkv_kernel")]
+    assert_allclose(qkv, sd["layers.0.blocks.0.attn.qkv.weight"].T, atol=1e-6)
+    # Forward runs with ported weights.
+    out = model.apply(params, jnp.zeros((1, 32, 32, 3)), train=False)
+    assert np.isfinite(np.asarray(out)).all()

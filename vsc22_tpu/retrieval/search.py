@@ -60,7 +60,9 @@ def _merge_topk(best_s, best_i, new_s, new_i, k: int):
     return sel_s, sel_i
 
 
-def _row_topk_impl(queries, refs, num_valid, *, k: int, ref_tile: int, vary_axis=None):
+def _row_topk_impl(
+    queries, refs, num_valid, *, k: int, ref_tile: int, vary_axis=None, compute_dtype=None
+):
     """Per-query-row top-k of `queries @ refs.T`, scanning reference tiles.
 
     queries: [Tq, D]; refs: [Nr_padded, D] with Nr_padded % ref_tile == 0.
@@ -68,10 +70,15 @@ def _row_topk_impl(queries, refs, num_valid, *, k: int, ref_tile: int, vary_axis
     Returns (scores [Tq, k], indices [Tq, k]), sorted descending per row.
     Inside shard_map, `vary_axis` marks the scan carry as varying over the
     mesh axis (required by shard_map's varying-manual-axes typing).
+    `compute_dtype=bfloat16` runs the GEMM operands in bf16 (f32 accumulate):
+    ~4x faster on the MXU, sim error ~1e-3 on unit vectors.
     """
     nr, dim = refs.shape
     num_tiles = nr // ref_tile
     tq = queries.shape[0]
+    if compute_dtype is not None:
+        queries = queries.astype(compute_dtype)
+        refs = refs.astype(compute_dtype)
     refs_tiled = refs.reshape(num_tiles, ref_tile, dim)
     kk = min(k, ref_tile)
 
@@ -104,19 +111,26 @@ def _row_topk_impl(queries, refs, num_valid, *, k: int, ref_tile: int, vary_axis
     return scores, indices
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ref_tile"))
-def _row_topk_local(queries, refs, num_valid, *, k: int, ref_tile: int):
-    return _row_topk_impl(queries, refs, num_valid, k=k, ref_tile=ref_tile)
+@functools.partial(jax.jit, static_argnames=("k", "ref_tile", "compute_dtype"))
+def _row_topk_local(queries, refs, num_valid, *, k: int, ref_tile: int, compute_dtype=None):
+    return _row_topk_impl(
+        queries, refs, num_valid, k=k, ref_tile=ref_tile, compute_dtype=compute_dtype
+    )
 
 
-def _make_sharded_row_topk(mesh: Mesh, axis: str, *, k: int, ref_tile: int, shard_rows: int):
+def _make_sharded_row_topk(
+    mesh: Mesh, axis: str, *, k: int, ref_tile: int, shard_rows: int, compute_dtype=None
+):
     """shard_map'd row-top-k: refs row-sharded along `axis`, queries replicated."""
 
     def local(q, r, num_valid):
         idx = jax.lax.axis_index(axis)
         base = idx * shard_rows
         local_valid = jnp.clip(num_valid - base, 0, shard_rows)
-        s, i = _row_topk_impl(q, r, local_valid, k=k, ref_tile=ref_tile, vary_axis=axis)
+        s, i = _row_topk_impl(
+            q, r, local_valid, k=k, ref_tile=ref_tile, vary_axis=axis,
+            compute_dtype=compute_dtype,
+        )
         i = i + base
         # Gather every device's local winners over ICI and re-reduce.
         s_all = jax.lax.all_gather(s, axis)  # [nd, Tq, k]
@@ -156,8 +170,10 @@ class SimilaritySearcher:
         mesh_axis: str = "data",
         ref_tile: int = 2048,
         query_tile: int = 1024,
+        compute_dtype=None,
     ):
         self.num_refs = int(refs.shape[0])
+        self.compute_dtype = compute_dtype
         self.dim = int(refs.shape[1])
         self.mesh = mesh
         self.mesh_axis = mesh_axis
@@ -202,7 +218,10 @@ class SimilaritySearcher:
 
     def _get_fn(self, k: int):
         if self.mesh is None:
-            return functools.partial(_row_topk_local, k=k, ref_tile=self.ref_tile)
+            return functools.partial(
+                _row_topk_local, k=k, ref_tile=self.ref_tile,
+                compute_dtype=self.compute_dtype,
+            )
         key = k
         if key not in self._sharded_cache:
             self._sharded_cache[key] = _make_sharded_row_topk(
@@ -211,6 +230,7 @@ class SimilaritySearcher:
                 k=k,
                 ref_tile=self.ref_tile,
                 shard_rows=self.shard_rows,
+                compute_dtype=self.compute_dtype,
             )
         return self._sharded_cache[key]
 

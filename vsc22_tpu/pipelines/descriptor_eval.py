@@ -101,6 +101,7 @@ def run(
     score_norm_features: Optional[str] = None,
     ground_truth: Optional[str] = None,
     mesh=None,
+    plots: bool = False,
 ) -> EvalResult:
     queries = load_features(query_features, Dataset.QUERIES)
     refs = load_features(ref_features, Dataset.REFS)
@@ -130,11 +131,33 @@ def run(
         gt_matches = Match.read_csv(ground_truth, is_gt=True)
         gt_pairs = CandidatePair.from_matches(gt_matches)
         candidate_pairs = CandidatePair.read_csv(candidate_file)
-        result.candidate_uap = average_precision(gt_pairs, candidate_pairs).ap
-        result.segment_ap = evaluate_matching_track(ground_truth, match_file).segment_ap.ap
+        candidate_ap = average_precision(gt_pairs, candidate_pairs)
+        match_metrics = evaluate_matching_track(ground_truth, match_file)
+        result.candidate_uap = candidate_ap.ap
+        result.segment_ap = match_metrics.segment_ap.ap
         logger.info("candidate uAP: %.4f", result.candidate_uap)
         logger.info("segment AP: %.4f", result.segment_ap)
+        if plots:
+            _write_pr_plot(
+                candidate_ap, os.path.join(output_path, "candidate_precision_recall.pdf")
+            )
+            _write_pr_plot(
+                match_metrics.segment_ap, os.path.join(output_path, "precision_recall.pdf")
+            )
     return result
+
+
+def _write_pr_plot(ap, filename: str) -> None:
+    """PR-curve PDF (reference sscd_baseline.create_pr_plot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure()
+    ap.pr_curve.plot(linewidth=1)
+    plt.savefig(filename)
+    plt.close("all")
 
 
 def main():
@@ -144,6 +167,7 @@ def main():
     parser.add_argument("--output_path", required=True)
     parser.add_argument("--score_norm_features", default=None)
     parser.add_argument("--ground_truth", default=None)
+    parser.add_argument("--plots", action="store_true", help="write PR-curve PDFs")
     parser.add_argument("--overwrite", action="store_true")
     args = parser.parse_args()
     if os.path.exists(os.path.join(args.output_path, "candidates.csv")) and not args.overwrite:
@@ -155,6 +179,7 @@ def main():
         args.output_path,
         args.score_norm_features,
         args.ground_truth,
+        plots=args.plots,
     )
     print(result)
 

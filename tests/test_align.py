@@ -211,3 +211,11 @@ class TestSegmentPR:
         preds = {("Q1", "R1"): [[0, 0, 10, 10]]}
         out = evaluate_alignment(preds, gt)
         assert out["recall"] == pytest.approx(0.5)
+
+
+def test_vta_model_process_pool_matches_sequential():
+    rng = np.random.default_rng(9)
+    sims = [(f"k{i}", rng.random((30, 30))) for i in range(4)]
+    seq = build_vta_model("HV").forward_sim(sims)
+    par = build_vta_model("HV", concurrency=2).forward_sim(sims)
+    assert seq == par

@@ -477,9 +477,9 @@ def sim_map(
 class BaseVtaModel:
     """Applies an alignment function to batches of (key, sim_matrix) pairs.
 
-    The reference used a multiprocessing.Pool; here the loop is sequential
-    by default (these are small host-side graph problems — device GEMMs
-    produce the matrices) with an optional process pool for large batches.
+    Sequential by default (these are small host-side problems — device GEMMs
+    produce the matrices); `concurrency > 0` fans large batches out over a
+    process pool (the reference's multiprocessing.Pool behavior).
     """
 
     def __init__(self, func_to_run, concurrency: int = 0):
@@ -491,6 +491,13 @@ class BaseVtaModel:
         return self.forward_sim(sims)
 
     def forward_sim(self, data: List[Tuple[str, np.ndarray]]) -> List[Any]:
+        if self.concurrency > 0 and len(data) > 1:
+            from concurrent.futures import ProcessPoolExecutor
+
+            keys = [key for key, _ in data]
+            with ProcessPoolExecutor(max_workers=self.concurrency) as pool:
+                results = list(pool.map(self.func_to_run, [sim for _, sim in data]))
+            return list(zip(keys, results))
         return [(key, self.func_to_run(sim)) for key, sim in data]
 
 

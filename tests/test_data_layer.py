@@ -240,3 +240,44 @@ def test_native_dp_matches_numpy():
     np.testing.assert_array_equal(dp_native, dp_py)
     np.testing.assert_array_equal(accu_n, accu_p)
     np.testing.assert_array_equal(back_n, back_p)
+
+
+def test_overlay_pair_dataset(tmp_path):
+    from vsc22_tpu.data.datasets import OverlayImagePairDataset
+
+    store = make_frame_store(tmp_path)
+    ds = OverlayImagePairDataset(store, overlay_prob=1.0, width=32)
+    rng = np.random.default_rng(0)
+    s = ds.sample(0, rng)
+    assert s["label"] == 1
+    assert s["img_a"].shape == (32, 32, 3)
+    ds0 = OverlayImagePairDataset(store, overlay_prob=0.0, width=32)
+    assert ds0.sample(0, rng)["label"] == 0
+
+
+def test_launch_local_workers():
+    from vsc22_tpu.parallel.launcher import launch_local
+
+    def work(index, count, base):
+        return base + index * 10
+
+    assert launch_local(work, 1, args=(5,)) == [5]
+    results = launch_local(_times_ten, 3, args=(100,))
+    assert results == [100, 110, 120]
+
+
+def _times_ten(index, count, base):
+    return base + index * 10
+
+
+def test_launch_local_failure_propagates():
+    from vsc22_tpu.parallel.launcher import launch_local
+
+    with pytest.raises(RuntimeError, match="worker"):
+        launch_local(_boom, 2)
+
+
+def _boom(index, count):
+    if index == 1:
+        raise ValueError("kaput")
+    return index

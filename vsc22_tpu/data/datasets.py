@@ -289,3 +289,36 @@ class DataLoader:
                 next_bi += 1
         for t in threads:
             t.join()
+
+
+class OverlayImagePairDataset(FramePairDataset):
+    """DISC-style overlay pair generator (reference ImageLmdbDataSet,
+    videolmdb_dataset.py:327-374 — auxiliary, absent from final configs):
+    the query view alpha-blends a second random frame over the anchor, the
+    key view is the anchor; binary `label` marks whether an overlay happened.
+    """
+
+    def __init__(self, store: FrameStore, overlay_prob: float = 0.5, **kwargs):
+        super().__init__(store, **kwargs)
+        self.overlay_prob = overlay_prob
+
+    def sample(self, idx: int, rng: np.random.Generator) -> Dict:
+        vid, frame = self.vid_index[idx]
+        img = self.store.get_frame(vid, frame)
+        label = 0
+        img_a = img
+        if rng.uniform() < self.overlay_prob:
+            other = self._random_frame(rng)
+            other = cv2.resize(other, (img.shape[1], img.shape[0]))
+            alpha = rng.uniform(0.3, 0.7)
+            img_a = (
+                img.astype(np.float32) * (1 - alpha) + other.astype(np.float32) * alpha
+            ).astype(np.uint8)
+            label = 1
+        return dict(
+            img_a=self.transform_n(img_a, rng),
+            img_b=self.transform_n(img, rng),
+            vid_a=self.vid_ordinal[vid],
+            vid_b=self.vid_ordinal[vid],
+            label=label,
+        )

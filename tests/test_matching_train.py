@@ -132,3 +132,55 @@ def test_refine_training_runs_and_learns_band():
     on_band = np.mean([prob[t, t] for t in range(6, 24)])
     off_band = prob[2, 28]
     assert on_band > off_band
+
+
+def test_matching_training_cli_end_to_end(tmp_path):
+    """Full 3-phase matching trainer on planted descriptors (tiny models)."""
+    from vsc22_tpu.core.storage import store_features
+    from vsc22_tpu.core.types import Match, VideoFeature
+    from vsc22_tpu.train import matching_cli
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    dim = 16
+
+    def normed(x):
+        return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+    refs, queries, gt, cands = [], [], [], []
+    for i in range(8):
+        refs.append(VideoFeature(
+            video_id=f"R{i:06d}", feature=normed(rng.standard_normal((24, dim))),
+            timestamps=np.arange(24.0)))
+    for i in range(8):
+        f = normed(rng.standard_normal((20, dim)))
+        if i < 4:  # planted copies
+            f[5:15] = refs[i].feature[3:13]
+            gt.append(Match(query_id=f"Q{i:06d}", ref_id=f"R{i:06d}", score=1.0,
+                            query_start=5., query_end=15., ref_start=3., ref_end=13.))
+        queries.append(VideoFeature(
+            video_id=f"Q{i:06d}", feature=f, timestamps=np.arange(20.0)))
+        # candidates: true pair + one distractor each
+        cands.append((f"Q{i:06d}", f"R{i:06d}"))
+        cands.append((f"Q{i:06d}", f"R{(i+4) % 8:06d}"))
+
+    qp, rp = tmp_path / "q.npz", tmp_path / "r.npz"
+    store_features(str(qp), queries)
+    store_features(str(rp), refs)
+    gt_path = tmp_path / "gt.csv"
+    Match.write_csv(gt, str(gt_path))
+    pd.DataFrame(cands, columns=["query_id", "ref_id"]).assign(score=1.0).to_csv(
+        tmp_path / "cands.csv", index=False)
+
+    result = matching_cli.main([
+        "--query_features", str(qp), "--ref_features", str(rp),
+        "--candidates", str(tmp_path / "cands.csv"), "--gt", str(gt_path),
+        "--work_dir", str(tmp_path / "run"), "--tiny",
+        "--cls_epochs", "8", "--refine_epochs", "4",
+        "--cls_resolution", "32", "--refine_resolution", "32",
+        "--cls_threshold", "0.0", "--lr", "3e-3",
+    ])
+    assert (tmp_path / "run" / "candidate_scores.csv").exists()
+    assert (tmp_path / "run" / "classify_h1.npz").exists()
+    assert (tmp_path / "run" / "refine_h2.npz").exists()
+    assert result["classify_ap"] > 0.3  # learned something out-of-fold

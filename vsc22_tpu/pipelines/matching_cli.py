@@ -37,7 +37,7 @@ from vsc22_tpu.pipelines.matching_infer import (
 )
 from vsc22_tpu.pipelines.query_extract import calculate_low_var_dim
 from vsc22_tpu.retrieval.score_norm import query_score_normalize, ref_score_normalize
-from vsc22_tpu.train.checkpoint import load_params_snapshot
+from vsc22_tpu.train.checkpoint import load_cnn_snapshot
 
 logger = logging.getLogger("matching_cli")
 
@@ -49,13 +49,7 @@ def _load_cnn(model, sample_shape, params_paths):
         if p == "-":
             out.append((model, variables))
         else:
-            import numpy as _np
-
-            data = dict(_np.load(p, allow_pickle=True))
-            # Snapshots store params only; batch_stats restored separately
-            # when present under 'batch_stats/' keys.
-            params = load_params_snapshot(p, variables["params"])
-            out.append((model, {"params": params, "batch_stats": variables.get("batch_stats", {})}))
+            out.append((model, load_cnn_snapshot(p, variables)))
     return out
 
 

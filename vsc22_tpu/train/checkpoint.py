@@ -75,3 +75,24 @@ def load_params_snapshot(path: str, params_template):
             raise ValueError(f"{key}: checkpoint {arr.shape} != model {value.shape}")
         leaves.append(arr.astype(value.dtype))
     return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def save_cnn_snapshot(path: str, params, batch_stats) -> None:
+    """Flat npz of a BatchNorm CNN's {params, batch_stats} collections."""
+    flat = jax.tree_util.tree_flatten_with_path(
+        {"params": params, "batch_stats": batch_stats}
+    )[0]
+    arrays = {
+        "/".join(str(getattr(k, "key", k)) for k in keypath): np.asarray(v)
+        for keypath, v in flat
+    }
+    np.savez(path, **arrays)
+
+
+def load_cnn_snapshot(path: str, variables_template):
+    """Inverse of save_cnn_snapshot into a {'params', 'batch_stats'} tree."""
+    template = {
+        "params": variables_template["params"],
+        "batch_stats": variables_template.get("batch_stats", {}),
+    }
+    return load_params_snapshot(path, template)

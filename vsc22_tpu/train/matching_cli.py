@@ -213,13 +213,17 @@ def main(argv=None):
         seg_ap = evaluate_matching_track(args.gt, match_file).segment_ap.ap
         logger.info("phase C: segment AP %.4f (%d matches)", seg_ap, len(match_df))
 
-    # Save fold params for inference.
-    from vsc22_tpu.train.checkpoint import save_ema_snapshot
+    # Save fold params for inference (loadable by pipelines.matching_cli).
+    from vsc22_tpu.train.checkpoint import save_cnn_snapshot
 
     for tag, (model, state) in zip(("h1", "h2"), cls_states):
-        _save_cnn(os.path.join(args.work_dir, f"classify_{tag}.npz"), state)
+        save_cnn_snapshot(
+            os.path.join(args.work_dir, f"classify_{tag}.npz"), state.params, state.batch_stats
+        )
     for tag, (model, state) in zip(("h1", "h2"), refine_states):
-        _save_cnn(os.path.join(args.work_dir, f"refine_{tag}.npz"), state)
+        save_cnn_snapshot(
+            os.path.join(args.work_dir, f"refine_{tag}.npz"), state.params, state.batch_stats
+        )
     with open(os.path.join(args.work_dir, "summary.json"), "w") as f:
         json.dump({"classify_ap": ap, "segment_ap": seg_ap, "pairs": len(meta)}, f)
     return {"classify_ap": ap, "segment_ap": seg_ap, "match_file": match_file}
@@ -231,17 +235,6 @@ def _binary_ap(df: pd.DataFrame) -> float:
     if df.label.sum() == 0:
         return 0.0
     return float(_binary_average_precision(df.label.to_numpy(), df.prob.to_numpy()))
-
-
-def _save_cnn(path: str, state) -> None:
-    flat = jax.tree_util.tree_flatten_with_path(
-        {"params": state.params, "batch_stats": state.batch_stats}
-    )[0]
-    arrays = {
-        "/".join(str(getattr(k, "key", k)) for k in keypath): np.asarray(v)
-        for keypath, v in flat
-    }
-    np.savez(path, **arrays)
 
 
 if __name__ == "__main__":

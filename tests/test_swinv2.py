@@ -155,3 +155,65 @@ def test_cosine_window_attention_matches_torch_reference():
     out_torch = (out @ torch.from_numpy(proj_k) + torch.from_numpy(proj_b)).numpy()
 
     assert_allclose(out_jax, out_torch, atol=2e-5)
+
+
+def test_fused_window_attention_matches_reference():
+    """Pallas kernel (interpret mode) == XLA reference path."""
+    from vsc22_tpu.ops.pallas_window_attn import (
+        window_attention_fused,
+        window_attention_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    w, h, n, hd = 6, 2, 16, 8
+    nw = 3
+    q = jnp.asarray(rng.standard_normal((w, h, n, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((w, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((w, h, n, hd)).astype(np.float32))
+    rpb = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)).astype(np.float32) * 5)
+    mask = jnp.asarray(
+        np.where(rng.random((nw, n, n)) > 0.8, -100.0, 0.0).astype(np.float32)
+    )
+    ref = window_attention_reference(q, k, v, rpb, scale, mask, nw)
+    fused = window_attention_fused(q, k, v, rpb, scale, mask, nw, interpret=True)
+    assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+
+def test_swin_forward_fused_matches_xla(tiny_swin):
+    """Full model: fused kernel path == XLA path (interpret on CPU)."""
+    import vsc22_tpu.ops.pallas_window_attn as pwa
+
+    model, params = tiny_swin
+    images = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 3))
+    ref = np.asarray(model.apply(params, images, train=False))
+
+    orig = pwa.window_attention_fused
+
+    def interp(q, k, v, rpb, scale, mask, nw, interpret=False):
+        return orig(q, k, v, rpb, scale, mask, nw, interpret=True)
+
+    import vsc22_tpu.models.swinv2 as swin_mod
+
+    class ForceFused(swin_mod.WindowAttention):
+        pass
+
+    # Monkeypatch: force the fused path through interpret mode.
+    pwa_fused_orig = pwa.window_attention_fused
+    try:
+        pwa.window_attention_fused = interp
+        # Rebuild model with fused=True on every attention via context: easiest
+        # is a fresh model whose WindowAttention default is forced.
+        out = None
+        from vsc22_tpu.models.swinv2 import SWINV2_TINY_TEST, SwinTransformerV2
+
+        # fused=None auto-resolves to False on CPU; force by patching backend check.
+        backend_orig = jax.default_backend
+        jax.default_backend = lambda: "tpu"
+        try:
+            out = np.asarray(model.apply(params, images, train=False))
+        finally:
+            jax.default_backend = backend_orig
+    finally:
+        pwa.window_attention_fused = pwa_fused_orig
+    assert_allclose(out, ref, atol=1e-3)

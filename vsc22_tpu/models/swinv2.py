@@ -134,16 +134,28 @@ def window_reverse(windows: jax.Array, window: int, h: int, w: int) -> jax.Array
 
 
 class WindowAttention(nn.Module):
-    """Cosine window attention with continuous relative position bias."""
+    """Cosine window attention with continuous relative position bias.
+
+    `fused` selects the Pallas kernel (ops/pallas_window_attn) that keeps the
+    per-window attention matrices in VMEM; None = auto (TPU backend only).
+    The XLA path materializes [B*nW, H, N, N] logits in HBM and is kept for
+    CPU/tests and as a numerical reference.
+    """
 
     dim: int
     window: Tuple[int, int]
     num_heads: int
     pretrained_window: int = 0
     dtype: jnp.dtype = jnp.float32
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[np.ndarray], deterministic: bool = True):
+        from vsc22_tpu.ops.pallas_window_attn import (
+            window_attention_fused,
+            window_attention_reference,
+        )
+
         b_, n, c = x.shape
         h = self.num_heads
         hd = c // h
@@ -162,16 +174,10 @@ class WindowAttention(nn.Module):
         bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
         qkv = jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype)) + bias.astype(self.dtype)
         qkv = qkv.reshape(b_, n, 3, h, hd)
-        q, k, v = (qkv[:, :, i] for i in range(3))  # [B_, N, H, hd]
+        # [B_, H, N, hd] layout for the window kernel.
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
 
-        # Cosine attention in f32 (normalization is precision-sensitive).
-        q = q.astype(jnp.float32)
-        k = k.astype(jnp.float32)
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-        scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
-        attn = attn * scale[None]
+        scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0)))).reshape(h)
 
         # Continuous relative position bias.
         wh, ww = self.window
@@ -184,18 +190,24 @@ class WindowAttention(nn.Module):
         cpb = cpb.reshape(-1, h)  # [(2wh-1)(2ww-1), H]
         rel_idx = jnp.asarray(_relative_position_index(wh, ww).reshape(-1))
         rpb = cpb[rel_idx].reshape(n, n, h).transpose(2, 0, 1)  # [H, N, N]
-        attn = attn + (16.0 * jax.nn.sigmoid(rpb))[None]
+        rpb = 16.0 * jax.nn.sigmoid(rpb)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, h, n, n) + jnp.asarray(mask)[None, :, None]
-            attn = attn.reshape(b_, h, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        if mask is None:
+            mask_arr = jnp.zeros((1, n, n), jnp.float32)
+            nw = 1
+        else:
+            mask_arr = jnp.asarray(mask, jnp.float32)
+            nw = mask_arr.shape[0]
 
-        out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn, v.astype(self.dtype), preferred_element_type=jnp.float32
-        )
-        out = out.reshape(b_, n, c).astype(self.dtype)
+        fused = self.fused
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        if fused:
+            out = window_attention_fused(q, k, v, rpb, scale, mask_arr, nw)
+        else:
+            out = window_attention_reference(q, k, v, rpb, scale, mask_arr, nw)
+
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_, n, c).astype(self.dtype)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

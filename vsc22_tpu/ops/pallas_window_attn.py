@@ -4,13 +4,15 @@ The XLA path materializes the per-window attention matrices
 [B*nW, H, N, N] in HBM for every block (bias add, mask add, softmax — each a
 round trip); at SwinV2-Base@256 that is ~1GB per early-stage block and makes
 the backbone HBM-bound (~2.6% MXU measured). This kernel computes, per
-window: L2-normalize(q,k) -> scaled cosine logits -> +CPB bias -> +shift
-mask -> softmax -> @v entirely in VMEM, so HBM traffic is just q/k/v/out.
+(window, head) grid cell: L2-normalize(q,k) -> scaled cosine logits -> +CPB
+bias -> +shift mask -> softmax -> @v entirely in VMEM, so HBM traffic is
+just q/k/v/out plus the (once-fetched) bias/mask tables.
 
 Semantics match models.swinv2.WindowAttention (reference
 D1/train/train_v106/vsc/.../swinv2.py:145-186). The relative-position bias
-(16*sigmoid(cpb)) and the exp-clamped logit scale are precomputed per layer;
-the shift mask is indexed per window via the grid index map.
+(16*sigmoid(cpb)) and the exp-clamped per-head logit scale are precomputed
+per layer; the shift mask is indexed per window via the grid index map
+(window order inside a batch item is row-major, so mask index = w % nW).
 
 Interpret mode covers CPU testing; non-TPU backends fall back to the XLA
 implementation inside the model.
@@ -25,30 +27,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, rpb_ref, scale_ref, mask_ref, out_ref):
-    # q/k/v: [1, H, N, hd]; rpb: [H, N, N]; scale: [H]; mask: [1, N, N].
-    q = q_ref[0].astype(jnp.float32)  # [H, N, hd]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+def _kernel(scale_ref, q_ref, k_ref, v_ref, rpb_ref, mask_ref, out_ref):
+    # Blocks: q/k/v/out [1, 1, N, hd]; rpb [1, N, N]; mask [1, N, N];
+    # scale: [H] scalar-prefetch (SMEM), indexed by the head grid axis.
+    h_idx = pl.program_id(1)
+    q = q_ref[0, 0].astype(jnp.float32)  # [N, hd]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
     q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
     k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
     attn = jax.lax.dot_general(
         q, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # [H, N, N]
+        dimension_numbers=(((1,), (1,)), ((), ())),  # [N, N]
         preferred_element_type=jnp.float32,
     )
-    attn = attn * scale_ref[:].reshape(-1, 1, 1)
-    attn = attn + rpb_ref[:]
-    attn = attn + mask_ref[0][None, :, :]
+    attn = attn * scale_ref[h_idx]
+    attn = attn + rpb_ref[0]
+    attn = attn + mask_ref[0]
     attn = jax.nn.softmax(attn, axis=-1)
     out = jax.lax.dot_general(
         attn.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # [H, N, hd]
+        dimension_numbers=(((1,), (0,)), ((), ())),  # [N, hd]
         preferred_element_type=jnp.float32,
     )
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_shift_windows", "interpret"))
@@ -64,21 +69,26 @@ def window_attention_fused(
 ) -> jax.Array:
     w, h, n, hd = q.shape
     nw = num_shift_windows
+    # Index maps receive the scalar-prefetch ref as a trailing arg.
+    qkv_spec = pl.BlockSpec((1, 1, n, hd), lambda i, j, _s: (i, j, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(w, h),
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((1, n, n), lambda i, j, _s: (j, 0, 0)),
+            pl.BlockSpec((1, n, n), lambda i, j, _s: (i % nw, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n, hd), lambda i, j, _s: (i, j, 0, 0)),
+    )
     return pl.pallas_call(
         _kernel,
-        grid=(w,),
-        in_specs=[
-            pl.BlockSpec((1, h, n, hd), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, n, hd), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, n, hd), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((h, n, n), lambda i: (0, 0, 0)),  # constant: fetched once
-            pl.BlockSpec((h,), lambda i: (0,)),
-            pl.BlockSpec((1, n, n), lambda i: (i % nw, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, h, n, hd), lambda i: (i, 0, 0, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((w, h, n, hd), q.dtype),
         interpret=interpret,
-    )(q, k, v, rpb, scale, mask)
+    )(scale, q, k, v, rpb, mask)
 
 
 def window_attention_reference(q, k, v, rpb, scale, mask, num_shift_windows):
@@ -86,8 +96,8 @@ def window_attention_reference(q, k, v, rpb, scale, mask, num_shift_windows):
     w, h, n, hd = q.shape
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-6)
-    kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True), 1e-6)
+    qf = qf * jax.lax.rsqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12)
+    kf = kf * jax.lax.rsqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12)
     attn = jnp.einsum("whnd,whmd->whnm", qf, kf, preferred_element_type=jnp.float32)
     attn = attn * scale.reshape(1, -1, 1, 1)
     attn = attn + rpb[None]

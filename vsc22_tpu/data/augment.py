@@ -21,7 +21,7 @@ pipelines are reproducible and safe across dataloader workers.
 from __future__ import annotations
 
 import string
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import cv2
 import numpy as np

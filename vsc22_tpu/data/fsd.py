@@ -24,7 +24,6 @@ cv2.Canny path is kept for bit-parity testing when OpenCV is present.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence, Tuple
 
 import jax

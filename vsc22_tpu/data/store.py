@@ -15,7 +15,6 @@ numpy memmap fallback covers toolchain-less environments.
 from __future__ import annotations
 
 import ctypes
-import io
 import os
 import struct
 import zipfile

@@ -15,7 +15,6 @@ descriptors are robust to this (they are trained with far harsher augs).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

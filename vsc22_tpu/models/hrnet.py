@@ -14,7 +14,7 @@ Parity target (reference, for cross-checking — original implementation):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

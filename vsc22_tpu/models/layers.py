@@ -8,7 +8,7 @@ static shapes, fused QKV projections, bf16 compute with f32 accumulation.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,6 @@ Parity target (reference, for cross-checking — original implementation):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -15,8 +15,6 @@ throughput, f32 for weight-porting parity checks).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

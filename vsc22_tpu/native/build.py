@@ -8,7 +8,6 @@ Python/numpy paths (every native component has one).
 from __future__ import annotations
 
 import ctypes
-import os
 import shutil
 import subprocess
 import threading

@@ -21,44 +21,49 @@ implementation inside the model.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scale_ref, q_ref, k_ref, v_ref, rpb_ref, mask_ref, out_ref):
-    # Blocks: q/k/v/out [1, 1, N, hd]; rpb [1, N, N]; mask [1, N, N];
-    # scale: [H] scalar-prefetch (SMEM), indexed by the head grid axis.
-    h_idx = pl.program_id(1)
-    q = q_ref[0, 0].astype(jnp.float32)  # [N, hd]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0]
-    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-    k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
-    attn = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),  # [N, N]
-        preferred_element_type=jnp.float32,
-    )
-    attn = attn * scale_ref[h_idx]
-    attn = attn + rpb_ref[0]
-    attn = attn + mask_ref[0]
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jax.lax.dot_general(
-        attn.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),  # [N, hd]
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+def _make_kernel(nw: int, h: int):
+    """Kernel over one batch item: all nW windows x H heads, statically
+    unrolled (the per-(window, head) problems are tiny — [N, hd] matmuls —
+    so batching them per grid step amortizes grid/DMA overhead)."""
+
+    def _kernel(scale_ref, q_ref, k_ref, v_ref, rpb_ref, mask_ref, out_ref):
+        for g in range(nw):
+            mask_g = mask_ref[g]
+            for h_i in range(h):
+                q = q_ref[0, g, h_i].astype(jnp.float32)  # [N, hd]
+                k = k_ref[0, g, h_i].astype(jnp.float32)
+                v = v_ref[0, g, h_i]
+                q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+                k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+                attn = jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),  # [N, N]
+                    preferred_element_type=jnp.float32,
+                )
+                attn = attn * scale_ref[h_i]
+                attn = attn + rpb_ref[h_i]
+                attn = attn + mask_g
+                attn = jax.nn.softmax(attn, axis=-1)
+                out = jax.lax.dot_general(
+                    attn.astype(v.dtype), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),  # [N, hd]
+                    preferred_element_type=jnp.float32,
+                )
+                out_ref[0, g, h_i] = out.astype(out_ref.dtype)
+
+    return _kernel
 
 
 @functools.partial(jax.jit, static_argnames=("num_shift_windows", "interpret"))
 def window_attention_fused(
-    q: jax.Array,  # [W, H, N, hd] (W = batch * windows)
+    q: jax.Array,  # [W, H, N, hd] (W = batch * windows, window-major per item)
     k: jax.Array,
     v: jax.Array,
     rpb: jax.Array,  # [H, N, N] f32 — 16*sigmoid(cpb), shared across windows
@@ -69,26 +74,29 @@ def window_attention_fused(
 ) -> jax.Array:
     w, h, n, hd = q.shape
     nw = num_shift_windows
-    # Index maps receive the scalar-prefetch ref as a trailing arg.
-    qkv_spec = pl.BlockSpec((1, 1, n, hd), lambda i, j, _s: (i, j, 0, 0))
+    b = w // nw
+    # [B, nW, H, N, hd]: one grid step handles one batch item's windows.
+    q5, k5, v5 = (x.reshape(b, nw, h, n, hd) for x in (q, k, v))
+    qkv_spec = pl.BlockSpec((1, nw, h, n, hd), lambda i, _s: (i, 0, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(w, h),
+        grid=(b,),
         in_specs=[
             qkv_spec,
             qkv_spec,
             qkv_spec,
-            pl.BlockSpec((1, n, n), lambda i, j, _s: (j, 0, 0)),
-            pl.BlockSpec((1, n, n), lambda i, j, _s: (i % nw, 0, 0)),
+            pl.BlockSpec((h, n, n), lambda i, _s: (0, 0, 0)),
+            pl.BlockSpec((nw, n, n), lambda i, _s: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, n, hd), lambda i, j, _s: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, nw, h, n, hd), lambda i, _s: (i, 0, 0, 0, 0)),
     )
-    return pl.pallas_call(
-        _kernel,
+    out = pl.pallas_call(
+        _make_kernel(nw, h),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((w, h, n, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nw, h, n, hd), q.dtype),
         interpret=interpret,
-    )(scale, q, k, v, rpb, mask)
+    )(scale, q5, k5, v5, rpb, mask)
+    return out.reshape(w, h, n, hd)
 
 
 def window_attention_reference(q, k, v, rpb, scale, mask, num_shift_windows):

@@ -16,8 +16,6 @@ across implementations up to the usual randomized-vs-exact solver noise.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ import argparse
 import dataclasses
 import logging
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

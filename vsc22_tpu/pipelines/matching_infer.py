@@ -20,7 +20,7 @@ sharded GEMM threshold search; only the RANSAC decode stays on host.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,11 +20,8 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-from typing import List
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vsc22_tpu.core.storage import load_features, store_features
 from vsc22_tpu.core.types import Dataset

@@ -16,8 +16,7 @@ from __future__ import annotations
 
 import glob
 import logging
-import os
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -21,7 +21,6 @@ TPU-first differences from the reference's DDP design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import flax.struct

@@ -24,7 +24,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vsc22_tpu.data.datasets import DataLoader, FramePairDataset, LabeledFramePairDataset
 from vsc22_tpu.data.store import FrameStore

@@ -31,12 +31,7 @@ import pandas as pd
 from vsc22_tpu.core.storage import load_features
 from vsc22_tpu.core.types import Dataset, Match
 from vsc22_tpu.matching.simmat import candidate_sim_matrices, pad_sim_matrix, select_best_split_segment
-from vsc22_tpu.train.matching import (
-    soft_band_label,
-    split_folds,
-    train_classify_model,
-    train_refine_model,
-)
+from vsc22_tpu.train.matching import train_classify_model, train_refine_model
 
 logger = logging.getLogger("matching_train")
 

@@ -14,12 +14,10 @@ Here a model export is two artifacts:
 
 from __future__ import annotations
 
-import os
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vsc22_tpu.train.checkpoint import load_params_snapshot, save_ema_snapshot
 

@@ -28,35 +28,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(nw: int, h: int):
-    """Kernel over one batch item: all nW windows x H heads, statically
-    unrolled (the per-(window, head) problems are tiny — [N, hd] matmuls —
-    so batching them per grid step amortizes grid/DMA overhead)."""
+def _make_kernel(g_windows: int, h: int):
+    """Kernel over a group of G consecutive windows x H heads.
+
+    The per-(window, head) problems are tiny [N, hd] matmuls; batching them
+    per grid step amortizes grid/DMA overhead. The inner sweep is a
+    fori_loop (NOT a Python unroll — unrolled iterations each get their own
+    VMEM stack temporaries and blow the 16MB scoped-vmem limit)."""
 
     def _kernel(scale_ref, q_ref, k_ref, v_ref, rpb_ref, mask_ref, out_ref):
-        for g in range(nw):
-            mask_g = mask_ref[g]
-            for h_i in range(h):
-                q = q_ref[0, g, h_i].astype(jnp.float32)  # [N, hd]
-                k = k_ref[0, g, h_i].astype(jnp.float32)
-                v = v_ref[0, g, h_i]
-                q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-                k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
-                attn = jax.lax.dot_general(
-                    q, k,
-                    dimension_numbers=(((1,), (1,)), ((), ())),  # [N, N]
-                    preferred_element_type=jnp.float32,
-                )
-                attn = attn * scale_ref[h_i]
-                attn = attn + rpb_ref[h_i]
-                attn = attn + mask_g
-                attn = jax.nn.softmax(attn, axis=-1)
-                out = jax.lax.dot_general(
-                    attn.astype(v.dtype), v,
-                    dimension_numbers=(((1,), (0,)), ((), ())),  # [N, hd]
-                    preferred_element_type=jnp.float32,
-                )
-                out_ref[0, g, h_i] = out.astype(out_ref.dtype)
+        def body(idx, carry):
+            g = idx // h
+            h_i = idx % h
+            q = q_ref[0, g, h_i].astype(jnp.float32)  # [N, hd]
+            k = k_ref[0, g, h_i].astype(jnp.float32)
+            v = v_ref[0, g, h_i]
+            q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+            k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+            attn = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),  # [N, N]
+                preferred_element_type=jnp.float32,
+            )
+            attn = attn * scale_ref[h_i]
+            attn = attn + rpb_ref[h_i]
+            attn = attn + mask_ref[0, g]
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jax.lax.dot_general(
+                attn.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),  # [N, hd]
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, g, h_i] = out.astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, g_windows * h, body, 0)
 
     return _kernel
 
@@ -74,28 +80,45 @@ def window_attention_fused(
 ) -> jax.Array:
     w, h, n, hd = q.shape
     nw = num_shift_windows
-    b = w // nw
-    # [B, nW, H, N, hd]: one grid step handles one batch item's windows.
-    q5, k5, v5 = (x.reshape(b, nw, h, n, hd) for x in (q, k, v))
-    qkv_spec = pl.BlockSpec((1, nw, h, n, hd), lambda i, _s: (i, 0, 0, 0, 0))
+
+    def vmem_estimate(g):
+        qkv_out = 4 * 2 * g * h * n * hd * q.dtype.itemsize  # 4 tensors, 2 buffers
+        rpb_bytes = 2 * h * n * n * 4
+        mask_bytes = 2 * g * n * n * 4
+        temps = 4 * n * n * 4
+        return qkv_out + rpb_bytes + mask_bytes + temps
+
+    # Group G consecutive windows per grid step; G amortizes grid/DMA
+    # overhead but must keep the VMEM working set under the 16MB scoped
+    # limit (with margin). G must divide nW (nW is 1/4/16 here).
+    g_win = nw
+    while g_win > 1 and (g_win > 4 or nw % g_win or vmem_estimate(g_win) > 9 * 2**20):
+        g_win -= 1
+    num_groups = w // g_win
+    groups_per_item = nw // g_win
+    q5, k5, v5 = (x.reshape(num_groups, g_win, h, n, hd) for x in (q, k, v))
+    qkv_spec = pl.BlockSpec((1, g_win, h, n, hd), lambda i, _s: (i, 0, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(num_groups,),
         in_specs=[
             qkv_spec,
             qkv_spec,
             qkv_spec,
             pl.BlockSpec((h, n, n), lambda i, _s: (0, 0, 0)),
-            pl.BlockSpec((nw, n, n), lambda i, _s: (0, 0, 0)),
+            # Mask rows for this window group (grouped view: [nW/G, G, N, N]).
+            pl.BlockSpec((1, g_win, n, n), lambda i, _s: (i % groups_per_item, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, nw, h, n, hd), lambda i, _s: (i, 0, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, g_win, h, n, hd), lambda i, _s: (i, 0, 0, 0, 0)),
     )
+    mask4 = mask.reshape(groups_per_item, g_win, n, n)
     out = pl.pallas_call(
-        _make_kernel(nw, h),
+        _make_kernel(g_win, h),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nw, h, n, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_groups, g_win, h, n, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(scale, q5, k5, v5, rpb, mask)
+    )(scale, q5, k5, v5, rpb, mask4)
     return out.reshape(w, h, n, hd)
 
 

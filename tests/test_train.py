@@ -148,3 +148,21 @@ def test_mesh_step_matches_single_device(cpu_mesh):
     a = np.asarray(jax.tree.leaves(s1.params)[-1])
     b = np.asarray(jax.tree.leaves(s8.params)[-1])
     assert_allclose(a, b, atol=1e-4)
+
+
+def test_remat_matches_plain():
+    """Activation checkpointing must not change the numerics."""
+    model = vit_tiny_test_descriptor()
+    batch = make_batch(5, b=4)
+    rng = jax.random.PRNGKey(0)
+    common = dict(total_steps=10, entropy_weight=1.0, ema_decay=None,
+                  warmup_ratio=0.0, learning_rate=1e-3)
+    s1, tx1 = create_train_state(model, jax.random.PRNGKey(0), batch, ContrastiveConfig(**common))
+    s1, m1 = make_train_step(model, tx1, ContrastiveConfig(**common))(s1, batch, rng)
+    cfg2 = ContrastiveConfig(**common, remat=True)
+    s2, tx2 = create_train_state(model, jax.random.PRNGKey(0), batch, cfg2)
+    s2, m2 = make_train_step(model, tx2, cfg2)(s2, batch, rng)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s1.params)])
+    b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s2.params)])
+    np.testing.assert_allclose(a, b, atol=1e-5)

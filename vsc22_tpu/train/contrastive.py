@@ -52,6 +52,7 @@ class ContrastiveConfig:
     # Extras.
     ema_decay: Optional[float] = 0.999
     fgm_epsilon: Optional[float] = None  # e.g. 0.1 enables FGM adversarial step
+    remat: bool = False  # activation checkpointing (reference --checkpointing)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -170,10 +171,23 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: ContrastiveCon
     the cross-device all-gather.
     """
 
+    apply_fn = model.apply
+    if cfg.remat:
+        # Rematerialize backbone activations in the backward pass
+        # (reference --checkpointing / SwinV2 use_checkpoint).
+        apply_fn = jax.checkpoint(
+            lambda params, images, rng: model.apply(
+                params, images, train=True, rngs={"dropout": rng}
+            )
+        )
+
     def loss_fn(params, img_a, img_b, rng):
         bz = img_a.shape[0]
         images = jnp.concatenate([img_a, img_b], axis=0)
-        embeds = model.apply(params, images, train=True, rngs={"dropout": rng})
+        if cfg.remat:
+            embeds = apply_fn(params, images, rng)
+        else:
+            embeds = model.apply(params, images, train=True, rngs={"dropout": rng})
         embeds = l2_normalize(embeds.astype(jnp.float32))
         emb_a, emb_b = embeds[:bz], embeds[bz:]
 

@@ -60,6 +60,7 @@ def parse_args(argv=None):
     p.add_argument("--ema_decay", type=float, default=0.999)
     p.add_argument("--do_fgm", action="store_true")
     p.add_argument("--product_loss", action="store_true")
+    p.add_argument("--checkpointing", action="store_true", help="activation remat")
     p.add_argument("--print_freq", type=int, default=50)
     p.add_argument("--resume", action="store_true")
     p.add_argument("overrides", nargs="*", default=[])
@@ -119,6 +120,7 @@ def main(argv=None):
         clip_grad_norm=args.clip_grad_norm,
         ema_decay=args.ema_decay if args.do_ema else None,
         fgm_epsilon=0.1 if args.do_fgm else None,
+        remat=args.checkpointing,
     )
     model = build_backbone(cfg.model.to_dict())
     width = cfg.get("img_width", 256)

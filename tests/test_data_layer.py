@@ -281,3 +281,19 @@ def _boom(index, count):
     if index == 1:
         raise ValueError("kaput")
     return index
+
+
+def test_concat_dataset(tmp_path):
+    from vsc22_tpu.data.datasets import ConcatDataset
+
+    store = make_frame_store(tmp_path)
+    a = FramePairDataset(store, width=32)
+    b = FramePairDataset(store, width=32)
+    cat = ConcatDataset([a, b])
+    assert len(cat) == len(a) + len(b)
+    rng = np.random.default_rng(0)
+    s_last = cat.sample(len(cat) - 1, rng)
+    assert s_last["img_a"].shape == (32, 32, 3)
+    # Boundary: first sample of the second dataset.
+    s_b0 = cat.sample(len(a), rng)
+    assert s_b0["img_b"].shape == (32, 32, 3)

@@ -322,3 +322,19 @@ class OverlayImagePairDataset(FramePairDataset):
             vid_b=self.vid_ordinal[vid],
             label=label,
         )
+
+
+class ConcatDataset:
+    """Concatenation of pair datasets (reference --concat_dataset option,
+    descriptor_train.py:131-134 — e.g. the VSC corpus + the DISC corpus)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def sample(self, idx: int, rng: np.random.Generator) -> Dict:
+        d = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.datasets[d].sample(idx - int(self._offsets[d]), rng)

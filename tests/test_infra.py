@@ -233,3 +233,19 @@ def test_descriptor_cli_end_to_end(tmp_path):
     assert (work_dir / "epoch_0_ema.npz").exists()
     ckpts = os.listdir(work_dir / "checkpoints")
     assert len(ckpts) >= 1
+
+
+class TestDistributedHelpers:
+    def test_maybe_initialize_noop_single_process(self, monkeypatch):
+        from vsc22_tpu.parallel import distributed
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "MASTER_ADDR"):
+            monkeypatch.delenv(var, raising=False)
+        assert distributed.maybe_initialize() is False
+
+    def test_barrier_and_allgather_single_process(self):
+        from vsc22_tpu.parallel.distributed import barrier, process_allgather
+
+        barrier("test")  # no-op
+        out = process_allgather(np.arange(4))
+        assert out.shape == (1, 4)

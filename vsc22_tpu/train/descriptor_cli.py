@@ -42,7 +42,8 @@ from vsc22_tpu.utils.observability import StageTimer, setup_logging
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
-    p.add_argument("--store", required=True, help="frame record store path")
+    p.add_argument("--store", required=True, action="append",
+                   help="frame record store path (repeatable: datasets concatenate)")
     p.add_argument("--work_dir", required=True)
     p.add_argument("--ann_path", default=None, help="matching GT csv (labeled sampler)")
     p.add_argument("--batch_size", type=int, default=64)
@@ -95,8 +96,14 @@ def main(argv=None):
             f"--batch_size {args.batch_size} must be divisible by the data-axis "
             f"size {dp} (devices visible to this process)"
         )
-    store = FrameStore(args.store)
-    dataset = build_dataset(cfg, args, store)
+    stores = [FrameStore(path) for path in args.store]
+    datasets = [build_dataset(cfg, args, store) for store in stores]
+    if len(datasets) == 1:
+        dataset = datasets[0]
+    else:
+        from vsc22_tpu.data.datasets import ConcatDataset
+
+        dataset = ConcatDataset(datasets)
     loader = DataLoader(
         dataset,
         batch_size=args.batch_size,

@@ -75,8 +75,8 @@ def test_param_sharding_rules(cpu_mesh_2d, tiny_model_and_params):
     specs = {"/".join(str(k.key) for k in path): s.spec for path, s in flat}
     # At least the MLP kernels must be tensor-sharded over 'model'.
     sharded = [name for name, spec in specs.items() if any(ax == "model" for ax in spec)]
-    assert any("fc1/kernel" in n for n in sharded)
-    assert any("fc2/kernel" in n for n in sharded)
+    assert any("fc1_kernel" in n for n in sharded)
+    assert any("fc2_kernel" in n for n in sharded)
     # Biases/norms replicated.
     assert all("bias" not in n for n in sharded)
 

@@ -196,13 +196,13 @@ def test_swinv2_port_roundtrip_shapes():
             sd[f"{t}.attn.proj.weight"] = rand_like(key).T
         elif key[1:] == ("attn", "proj", "bias"):
             sd[f"{t}.attn.proj.bias"] = rand_like(key)
-        elif key[1:] == ("mlp", "fc1", "kernel"):
+        elif key[1:] == ("mlp", "fc1_kernel"):
             sd[f"{t}.mlp.fc1.weight"] = rand_like(key).T
-        elif key[1:] == ("mlp", "fc1", "bias"):
+        elif key[1:] == ("mlp", "fc1_bias"):
             sd[f"{t}.mlp.fc1.bias"] = rand_like(key)
-        elif key[1:] == ("mlp", "fc2", "kernel"):
+        elif key[1:] == ("mlp", "fc2_kernel"):
             sd[f"{t}.mlp.fc2.weight"] = rand_like(key).T
-        elif key[1:] == ("mlp", "fc2", "bias"):
+        elif key[1:] == ("mlp", "fc2_bias"):
             sd[f"{t}.mlp.fc2.bias"] = rand_like(key)
     for key in flat:
         if key[0].startswith("merge"):

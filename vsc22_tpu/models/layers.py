@@ -44,7 +44,12 @@ class GeMPool(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Transformer MLP block: Dense → GELU → Dense."""
+    """Transformer MLP block: Dense → GELU → Dense.
+
+    On TPU with no active dropout, the block runs as the fused Pallas MLP
+    (ops/pallas_mlp) — hidden activations never leave VMEM. Identical math
+    (the custom VJP recomputes in XLA for the backward pass).
+    """
 
     hidden_dim: int
     out_dim: int
@@ -53,10 +58,31 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        c = x.shape[-1]
+        w1 = self.param("fc1_kernel", nn.initializers.lecun_normal(), (c, self.hidden_dim))
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (self.hidden_dim,))
+        w2 = self.param(
+            "fc2_kernel", nn.initializers.lecun_normal(), (self.hidden_dim, self.out_dim)
+        )
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (self.out_dim,))
+        w1c, b1c = w1.astype(self.dtype), b1.astype(self.dtype)
+        w2c, b2c = w2.astype(self.dtype), b2.astype(self.dtype)
+
+        use_fused = (
+            (self.dropout == 0.0 or deterministic)
+            and jax.default_backend() == "tpu"
+            and x.shape[-1] == self.out_dim
+        )
+        if use_fused:
+            from vsc22_tpu.ops.pallas_mlp import fused_mlp
+
+            lead = x.shape[:-1]
+            out = fused_mlp(x.reshape(-1, c).astype(self.dtype), w1c, b1c, w2c, b2c)
+            return out.reshape(*lead, self.out_dim)
+        x = x.astype(self.dtype) @ w1c + b1c
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = x @ w2c + b2c
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 

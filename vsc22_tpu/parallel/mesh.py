@@ -54,9 +54,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # Flax backbones without touching model code.
 # ---------------------------------------------------------------------------
 
+# Kernels named .../<tag>/kernel (Dense) or .../<tag>_kernel (flat Mlp params).
 _COL_SHARDED = ("qkv", "fc1", "proj")  # 'proj' = GeM head 1x1 projection
-_ROW_SHARDED_IN_ATTN = ("attn/proj",)  # attention output projection
-_ROW_SHARDED = ("fc2",)
+_ROW_SHARDED = ("fc2",)  # (attn/proj also row-shards, matched via 'proj' col first)
 
 
 def infer_param_spec(path: Tuple[str, ...], value) -> P:
@@ -65,13 +65,13 @@ def infer_param_spec(path: Tuple[str, ...], value) -> P:
     ndim = getattr(value, "ndim", 0)
     if ndim < 2 or not name.endswith("kernel"):
         return P()  # biases, norms, embeddings: replicated
-    if any(f"{tag}/kernel" in name for tag in _ROW_SHARDED) or any(
-        f"{tag}/kernel" in name for tag in _ROW_SHARDED_IN_ATTN
+    if any(f"{tag}/kernel" in name or name.endswith(f"{tag}_kernel") for tag in _ROW_SHARDED) or (
+        "attn/proj/kernel" in name
     ):
         spec = [None] * ndim
         spec[-2] = "model"
         return P(*spec)
-    if any(f"{tag}/kernel" in name for tag in _COL_SHARDED):
+    if any(f"{tag}/kernel" in name or name.endswith(f"{tag}_kernel") for tag in _COL_SHARDED):
         spec = [None] * ndim
         spec[-1] = "model"
         return P(*spec)

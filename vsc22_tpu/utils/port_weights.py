@@ -97,10 +97,10 @@ def port_vit_augreg_npz(npz: Mapping[str, np.ndarray], params_template) -> Dict:
         put(blk + ("attn", "proj", "kernel"), get(f"{att}/out/kernel").reshape(c, c))
         put(blk + ("attn", "proj", "bias"), get(f"{att}/out/bias"))
         mlp = f"{b}/MlpBlock_3"
-        put(blk + ("mlp", "fc1", "kernel"), get(f"{mlp}/Dense_0/kernel"))
-        put(blk + ("mlp", "fc1", "bias"), get(f"{mlp}/Dense_0/bias"))
-        put(blk + ("mlp", "fc2", "kernel"), get(f"{mlp}/Dense_1/kernel"))
-        put(blk + ("mlp", "fc2", "bias"), get(f"{mlp}/Dense_1/bias"))
+        put(blk + ("mlp", "fc1_kernel"), get(f"{mlp}/Dense_0/kernel"))
+        put(blk + ("mlp", "fc1_bias"), get(f"{mlp}/Dense_0/bias"))
+        put(blk + ("mlp", "fc2_kernel"), get(f"{mlp}/Dense_1/kernel"))
+        put(blk + ("mlp", "fc2_bias"), get(f"{mlp}/Dense_1/bias"))
 
     put(("norm", "scale"), get("Transformer/encoder_norm/scale"))
     put(("norm", "bias"), get("Transformer/encoder_norm/bias"))
@@ -164,8 +164,10 @@ def port_swinv2_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_te
             linear(f + ("attn", "cpb_fc1"), f"{t}.attn.cpb_mlp.0")
             put(f + ("attn", "cpb_fc2", "kernel"), sd[f"{t}.attn.cpb_mlp.2.weight"].T)
             linear(f + ("attn", "proj"), f"{t}.attn.proj")
-            linear(f + ("mlp", "fc1"), f"{t}.mlp.fc1")
-            linear(f + ("mlp", "fc2"), f"{t}.mlp.fc2")
+            put(f + ("mlp", "fc1_kernel"), sd[f"{t}.mlp.fc1.weight"].T)
+            put(f + ("mlp", "fc1_bias"), sd[f"{t}.mlp.fc1.bias"])
+            put(f + ("mlp", "fc2_kernel"), sd[f"{t}.mlp.fc2.weight"].T)
+            put(f + ("mlp", "fc2_bias"), sd[f"{t}.mlp.fc2.bias"])
             i += 1
         if f"layers.{stage}.downsample.reduction.weight" in sd:
             put(

@@ -297,3 +297,20 @@ def test_concat_dataset(tmp_path):
     # Boundary: first sample of the second dataset.
     s_b0 = cat.sample(len(a), rng)
     assert s_b0["img_b"].shape == (32, 32, 3)
+
+
+def test_dataloader_worker_failure_raises(tmp_path):
+    from vsc22_tpu.data.datasets import DataLoader
+
+    class BoomDataset:
+        def __len__(self):
+            return 8
+
+        def sample(self, idx, rng):
+            if idx == 3:
+                raise ValueError("boom")
+            return {"x": np.zeros(2, np.float32)}
+
+    loader = DataLoader(BoomDataset(), batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader.epoch(0))

@@ -262,13 +262,16 @@ class DataLoader:
                     bi, batch_idx = task_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset.sample(int(i), rng) for i in batch_idx]
-                collated = {
-                    k: np.stack([s[k] for s in samples])
-                    for k in samples[0]
-                    if not isinstance(samples[0][k], str)
-                }
-                out_q.put((bi, collated))
+                try:
+                    samples = [self.dataset.sample(int(i), rng) for i in batch_idx]
+                    collated = {
+                        k: np.stack([s[k] for s in samples])
+                        for k in samples[0]
+                        if not isinstance(samples[0][k], str)
+                    }
+                    out_q.put((bi, collated))
+                except Exception as exc:  # surface in the consumer, don't deadlock
+                    out_q.put((bi, exc))
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)
@@ -281,6 +284,8 @@ class DataLoader:
         received = 0
         while received < n_batches:
             bi, collated = out_q.get()
+            if isinstance(collated, Exception):
+                raise RuntimeError(f"dataloader worker failed on batch {bi}") from collated
             received += 1
             with lock:
                 results[bi] = collated

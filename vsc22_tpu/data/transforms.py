@@ -69,6 +69,34 @@ def clip_preprocess(frames_u8: jax.Array, size: int = 224, out_dtype=jnp.float32
     return x.astype(out_dtype)
 
 
+def resize_normalize_host(img, size: int, preset: str = "vit"):
+    """Host (cv2) twin of `resize_normalize` for one frame — used where frame
+    resolutions vary per video (a device resize would recompile per shape)."""
+    import cv2
+
+    mean, std = PRESETS[preset]
+    x = cv2.resize(np.asarray(img), (size, size), interpolation=cv2.INTER_CUBIC)
+    x = x.astype(np.float32) / 255.0
+    return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def clip_preprocess_host(img, size: int = 224):
+    """Host twin of `clip_preprocess`: shortest-side resize + center crop."""
+    import cv2
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    if h <= w:
+        nh, nw = size, max(int(round(w * size / h)), size)
+    else:
+        nh, nw = max(int(round(h * size / w)), size), size
+    x = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_CUBIC)
+    top, left = (nh - size) // 2, (nw - size) // 2
+    x = x[top : top + size, left : left + size].astype(np.float32) / 255.0
+    mean, std = PRESETS["clip"]
+    return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
 def batch_frames(frames: list, chunk: int = 48) -> list:
     """Split a stack of frames into <=chunk sub-batches (the reference's
     LEN_THRESHOLD=48 inference micro-batching, extract_query_feats.py:55)."""

@@ -28,7 +28,9 @@ class PCAModel:
     explained_variance: np.ndarray  # [k]
 
     def transform(self, x: np.ndarray) -> np.ndarray:
-        return np.asarray(_pca_transform(jnp.asarray(x), jnp.asarray(self.mean), jnp.asarray(self.components)))
+        # Host numpy: per-video inputs have varying row counts and jit would
+        # recompile per shape; this is a tiny [N, D] x [D, k] product.
+        return (np.asarray(x, np.float32) - self.mean) @ self.components.T
 
     def save(self, path: str) -> None:
         np.savez(
@@ -46,13 +48,6 @@ class PCAModel:
             components=data["components"],
             explained_variance=data["explained_variance"],
         )
-
-
-@jax.jit
-def _pca_transform(x, mean, components):
-    return jnp.dot(
-        x - mean[None, :], components.T, preferred_element_type=jnp.float32
-    )
 
 
 def _cov_and_mean(x: jnp.ndarray):

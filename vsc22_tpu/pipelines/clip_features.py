@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vsc22_tpu.data.transforms import clip_preprocess
+from vsc22_tpu.data.transforms import clip_preprocess_host
 
 logger = logging.getLogger("clip_features")
 
@@ -39,7 +39,8 @@ class ClipFeatureExtractor:
         self._fwd = jax.jit(lambda p, im: self.model.apply(p, im)[:, 0])
 
     def extract(self, frames: Sequence) -> np.ndarray:
-        arr = np.stack([np.asarray(f) for f in frames])[:MAX_FRAMES]
+        size = self.model.cfg.img_size
+        arr = np.stack([clip_preprocess_host(f, size) for f in frames[:MAX_FRAMES]])
         outs = []
         for start in range(0, len(arr), self.chunk):
             block = arr[start : start + self.chunk]
@@ -47,8 +48,7 @@ class ClipFeatureExtractor:
             if valid < self.chunk:
                 pad = np.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)
                 block = np.concatenate([block, pad])
-            images = clip_preprocess(jnp.asarray(block), self.model.cfg.img_size)
-            out = np.asarray(self._fwd(self.params, images), np.float32)
+            out = np.asarray(self._fwd(self.params, jnp.asarray(block)), np.float32)
             outs.append(out[:valid])
         return np.concatenate(outs, axis=0)
 

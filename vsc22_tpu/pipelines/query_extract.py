@@ -32,7 +32,7 @@ import numpy as np
 
 from vsc22_tpu.core.types import VideoFeature
 from vsc22_tpu.data import fsd
-from vsc22_tpu.data.transforms import clip_preprocess, resize_normalize
+from vsc22_tpu.data.transforms import clip_preprocess_host, resize_normalize_host
 from vsc22_tpu.ops.pca import PCAModel
 
 SCORE_THRESHOLD = 0.001
@@ -103,17 +103,12 @@ class DescriptorExtractor:
             self._fwd = jax.jit(fwd)
 
     def extract(self, frames: Sequence) -> np.ndarray:
-        # FSD scene crops give heterogeneous frame shapes within one video:
-        # resize shape-groups on device first, preserving frame order.
-        arrs = [np.asarray(f) for f in frames]
-        resized = np.empty((len(arrs), self.size, self.size, 3), np.float32)
-        by_shape: Dict[tuple, List[int]] = {}
-        for i, a in enumerate(arrs):
-            by_shape.setdefault(a.shape, []).append(i)
-        for idxs in by_shape.values():
-            batch = np.stack([arrs[i] for i in idxs])
-            out = np.asarray(resize_normalize(jnp.asarray(batch), self.size, self.preset))
-            resized[idxs] = out
+        # Frame resolutions vary per video (and FSD scene crops vary within
+        # one): resize+normalize on host so the device program stays one
+        # fixed [chunk, S, S, 3] shape for the whole corpus.
+        resized = np.stack(
+            [resize_normalize_host(f, self.size, self.preset) for f in frames]
+        )
 
         outs = []
         for start in range(0, len(resized), self.chunk):
@@ -146,8 +141,10 @@ class VideoEditDetector:
         )
 
     def score(self, frames: Sequence) -> float:
-        arr = np.stack([np.asarray(f) for f in frames])[: self.max_frames]
-        images = clip_preprocess(jnp.asarray(arr), self.clip_model.cfg.img_size)
+        size = self.clip_model.cfg.img_size
+        images = jnp.asarray(
+            np.stack([clip_preprocess_host(f, size) for f in frames[: self.max_frames]])
+        )
         feats = np.asarray(self._clip_fwd(self.clip_params, images), np.float32)
         if len(feats) < self.max_frames:
             feats = np.concatenate(

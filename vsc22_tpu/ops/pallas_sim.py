@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -62,6 +63,7 @@ def _row_max_call(q, r, *, tile_q: int, tile_r: int, interpret: bool):
         ],
         out_specs=pl.BlockSpec((tile_q, 128), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((nq, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(q, r)
     return out[:, 0]
@@ -71,7 +73,7 @@ def row_max_gemm(
     queries: np.ndarray,
     refs: np.ndarray,
     num_valid_refs: int | None = None,
-    tile_q: int = 2048,
+    tile_q: int = 512,
     tile_r: int = 512,
 ) -> np.ndarray:
     """max_j queries @ refs.T per row, fused on device. Returns [Nq] f32.

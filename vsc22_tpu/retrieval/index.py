@@ -53,8 +53,7 @@ class VideoIndex:
             )
         return self._packed, self._searcher
 
-    def search(self, queries: List[VideoFeature], global_k: int) -> List[PairMatches]:
-        """Search all query frames; group frame matches by (query, ref) video."""
+    def _search_rows(self, queries: List[VideoFeature], global_k: int):
         packed_refs, searcher = self._ensure_built()
         packed_q = PackedFeatures.from_video_features(queries)
         q_feats = packed_q.features[: packed_q.num_rows]
@@ -67,8 +66,42 @@ class VideoIndex:
             s = scores.reshape(-1)
         else:
             q_rows, r_rows, s = searcher.global_topk(q_feats, global_k)
+        return packed_q, packed_refs, q_rows, r_rows, s
 
+    def search(self, queries: List[VideoFeature], global_k: int) -> List[PairMatches]:
+        """Search all query frames; group frame matches by (query, ref) video."""
+        packed_q, packed_refs, q_rows, r_rows, s = self._search_rows(queries, global_k)
         return self._group_matches(packed_q, packed_refs, q_rows, r_rows, s)
+
+    def search_max_aggregated(
+        self, queries: List[VideoFeature], global_k: int
+    ) -> List[CandidatePair]:
+        """Search + max-aggregate per video pair, fully vectorized.
+
+        Equivalent to MaxScoreAggregation over `search()` but without
+        materializing millions of per-frame PairMatch objects (the global_k
+        budget is 1200x|Q| rows at eval scale). Returns candidates sorted by
+        descending score.
+        """
+        packed_q, packed_refs, q_rows, r_rows, s = self._search_rows(queries, global_k)
+        q_vid = packed_q.video_idx[q_rows].astype(np.int64)
+        r_vid = packed_refs.video_idx[r_rows].astype(np.int64)
+        keys = q_vid * len(packed_refs.video_ids) + r_vid
+        unique_keys, inverse = np.unique(keys, return_inverse=True)
+        best = np.full(len(unique_keys), -np.inf, np.float32)
+        np.maximum.at(best, inverse, s.astype(np.float32))
+        order = np.argsort(-best, kind="stable")
+        uq = unique_keys[order]
+        ub = best[order]
+        nrv = len(packed_refs.video_ids)
+        return [
+            CandidatePair(
+                query_id=packed_q.video_ids[int(k // nrv)],
+                ref_id=packed_refs.video_ids[int(k % nrv)],
+                score=float(b),
+            )
+            for k, b in zip(uq, ub)
+        ]
 
     @staticmethod
     def _group_matches(
@@ -130,6 +163,8 @@ class CandidateGeneration:
         self.index.add(references)
 
     def query(self, queries: List[VideoFeature], global_k: int) -> List[CandidatePair]:
+        if isinstance(self.aggregation, MaxScoreAggregation):
+            return self.index.search_max_aggregated(queries, global_k)
         matches = self.index.search(queries, global_k=global_k)
         candidates = [self.aggregation.score(m) for m in matches]
         return sorted(candidates, key=lambda c: c.score, reverse=True)

@@ -59,8 +59,13 @@ def localize_and_verify(
     localize_per_query: float = 5.0,
     score_normalization: bool = False,
     batch_size: int = 512,
+    concurrency: int = 0,
 ) -> List[Match]:
-    """TN-align the top candidates into segment matches."""
+    """TN-align the top candidates into segment matches.
+
+    `concurrency > 0` fans pair alignment over a process pool (the reference
+    ran TN with concurrency=16; alignment is host-side CPU work).
+    """
     candidates = candidates[: int(len(queries) * localize_per_query)]
     if score_normalization:
         alignment = VCSLLocalizationMaxSim(
@@ -70,6 +75,7 @@ def localize_and_verify(
             tn_max_step=5,
             min_length=4,
             similarity_bias=0.5,
+            concurrency=concurrency,
         )
     else:
         alignment = VCSLLocalizationCandidateScore(
@@ -78,6 +84,7 @@ def localize_and_verify(
             model_type="TN",
             tn_max_step=5,
             min_length=4,
+            concurrency=concurrency,
         )
     matches: List[Match] = []
     for i in range(0, len(candidates), batch_size):
@@ -102,6 +109,7 @@ def run(
     ground_truth: Optional[str] = None,
     mesh=None,
     plots: bool = False,
+    concurrency: int = 0,
 ) -> EvalResult:
     queries = load_features(query_features, Dataset.QUERIES)
     refs = load_features(ref_features, Dataset.REFS)
@@ -121,7 +129,8 @@ def run(
     CandidatePair.write_csv(candidates, candidate_file)
 
     matches = localize_and_verify(
-        queries, refs, candidates, score_normalization=score_normalization
+        queries, refs, candidates, score_normalization=score_normalization,
+        concurrency=concurrency,
     )
     match_file = os.path.join(output_path, "matches.csv")
     Match.write_csv(matches, match_file)
@@ -168,6 +177,7 @@ def main():
     parser.add_argument("--score_norm_features", default=None)
     parser.add_argument("--ground_truth", default=None)
     parser.add_argument("--plots", action="store_true", help="write PR-curve PDFs")
+    parser.add_argument("--concurrency", type=int, default=0, help="TN alignment process pool size")
     parser.add_argument("--overwrite", action="store_true")
     args = parser.parse_args()
     if os.path.exists(os.path.join(args.output_path, "candidates.csv")) and not args.overwrite:
@@ -180,6 +190,7 @@ def main():
         args.score_norm_features,
         args.ground_truth,
         plots=args.plots,
+        concurrency=args.concurrency,
     )
     print(result)
 

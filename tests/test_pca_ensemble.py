@@ -80,3 +80,35 @@ def test_ensemble_pca_pipeline():
     # enough that self-similarity dominates (sanity, not exactness).
     stacked = np.concatenate([vf.feature for vf in out])
     assert np.isfinite(stacked).all()
+
+
+def test_ensemble_cli_end_to_end(tmp_path):
+    from vsc22_tpu.core.storage import load_features, store_features
+    from vsc22_tpu.pipelines import ensemble_cli
+
+    rng = np.random.default_rng(4)
+    for split, seed in (("train", 0), ("test", 100)):
+        for m in range(2):
+            feats = [
+                VideoFeature(
+                    video_id=f"R{seed + i:06d}",
+                    feature=rng.standard_normal((6, 8)).astype(np.float32),
+                    timestamps=np.arange(6.0),
+                )
+                for i in range(5)
+            ]
+            store_features(str(tmp_path / f"{split}_m{m}.npz"), feats)
+
+    out = ensemble_cli.main(
+        [
+            "--train_refs", str(tmp_path / "train_m0.npz"), str(tmp_path / "train_m1.npz"),
+            "--test_refs", str(tmp_path / "test_m0.npz"), str(tmp_path / "test_m1.npz"),
+            "--out_dir", str(tmp_path / "fused"),
+            "--components", "8",
+        ]
+    )
+    test_sn = load_features(str(tmp_path / "fused" / "test_refs_sn.npz"))
+    assert test_sn[0].feature.shape == (6, 8)  # 8-dim PCA -1 lowvar +1 ones
+    np.testing.assert_allclose(test_sn[0].feature[:, -1], 1.0)
+    import os
+    assert os.path.exists(tmp_path / "fused" / "pca_model.npz")

@@ -146,3 +146,19 @@ def test_matching_cli_plumbing(tmp_path):
     assert list(df.columns) == [
         "query_id", "ref_id", "query_start", "query_end", "ref_start", "ref_end", "score",
     ]
+
+
+def test_ref_cli_end_to_end(video_dir, tmp_path):
+    from vsc22_tpu.pipelines import ref_cli
+
+    out = ref_cli.main(
+        [
+            "--videos", str(video_dir),
+            "--out", str(tmp_path / "refs"),
+            "--model", "vit_tiny_test:-:64:vit",
+        ]
+    )
+    feats = load_features(out)
+    assert len(feats) == 2
+    assert all(vf.video_id.startswith("R") for vf in feats)
+    assert feats[0].feature.shape[1] == 16

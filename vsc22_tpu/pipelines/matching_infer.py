@@ -53,15 +53,18 @@ def recall_candidates(
     scored by its max frame similarity, sorted descending."""
     packed_refs = PackedFeatures.from_video_features(sn_refs)
     searcher = SimilaritySearcher(packed_refs.features[: packed_refs.num_rows], mesh=mesh)
-    results: Dict[Tuple[str, str], float] = {}
+    n_ref_vids = len(packed_refs.video_ids)
+    out: List[Tuple[str, str, float]] = []
     for vf in sn_queries:
         rows, cols, scores = searcher.threshold_search(vf.feature, threshold)
-        r_vids = packed_refs.video_idx[cols]
-        for rv, sc in zip(r_vids, scores):
-            key = (vf.video_id, packed_refs.video_ids[rv])
-            if key not in results or sc > results[key]:
-                results[key] = float(sc)
-    out = [(q, r, s) for (q, r), s in results.items()]
+        if len(cols) == 0:
+            continue
+        # Max-aggregate frame matches per ref video in one scatter pass
+        # (millions of matches at matching-track scale; no Python loop).
+        best = np.full(n_ref_vids, -np.inf, np.float64)
+        np.maximum.at(best, packed_refs.video_idx[cols], scores)
+        for rv in np.flatnonzero(best > -np.inf):
+            out.append((vf.video_id, packed_refs.video_ids[rv], float(best[rv])))
     out.sort(key=lambda t: -t[2])
     return out
 

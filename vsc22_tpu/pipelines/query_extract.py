@@ -59,13 +59,12 @@ def near_duplicate_keep_indices(
     feat = _l2(features)
     sim = feat @ feat.T - np.eye(len(feat))
     sim_mean = sim.mean(0)
-    to_remove: List[int] = []
+    removed = np.zeros(len(feat), bool)
     for i in sim_mean.argsort()[::-1]:
-        if i in to_remove:
+        if removed[i]:
             continue
-        for j in np.where(sim[i] > threshold)[0]:
-            to_remove.append(int(j))
-    return [i for i in range(len(sim)) if i not in to_remove]
+        removed |= sim[i] > threshold
+    return [int(i) for i in np.flatnonzero(~removed)]
 
 
 @dataclasses.dataclass

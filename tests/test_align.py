@@ -219,3 +219,41 @@ def test_vta_model_process_pool_matches_sequential():
     seq = build_vta_model("HV").forward_sim(sims)
     par = build_vta_model("HV", concurrency=2).forward_sim(sims)
     assert seq == par
+
+
+class TestChamfer:
+    """Parity with reference chamfer_sim_cpu / sim_norm (D1/infer/vcsl/vta.py:14-41)."""
+
+    def test_chamfer_matches_reference_formula(self):
+        from vsc22_tpu.align.vta import chamfer_sim
+
+        rng = np.random.default_rng(3)
+        q = rng.standard_normal((4, 3, 8))
+        r = rng.standard_normal((5, 2, 8))
+        # Reference formula via tensordot (the original control flow).
+        sim = np.tensordot(q, r.T, axes=1)  # [Q, m, n, R]
+        c1 = np.squeeze(np.mean(np.max(sim, axis=1, keepdims=True), axis=2, keepdims=True))
+        c2 = np.squeeze(np.mean(np.max(sim, axis=2, keepdims=True), axis=1, keepdims=True))
+        expected = (c1 + c2) / 2
+        np.testing.assert_allclose(chamfer_sim(q, r), expected, rtol=1e-12)
+
+    def test_sim_norm_bounds(self):
+        from vsc22_tpu.align.vta import sim_norm
+
+        x = np.array([-1.0, 0.0, 0.15, 0.3, 2.0])
+        out = sim_norm(x)
+        np.testing.assert_allclose(out, [0.0, 0.0, 0.5, 1.0, 1.0])
+
+    def test_sim_map_chamfer_route(self):
+        from vsc22_tpu.align.vta import chamfer_sim, sim_map, sim_norm
+
+        rng = np.random.default_rng(4)
+        q = rng.standard_normal((3, 2, 6))
+        r = rng.standard_normal((4, 2, 6))
+        qid, rid, m = sim_map("Q", "R", q, r, similarity_type="chamfer")
+        assert (qid, rid) == ("Q", "R")
+        np.testing.assert_allclose(m, sim_norm(chamfer_sim(q, r)))
+        qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        rn = r / np.linalg.norm(r, axis=-1, keepdims=True)
+        _, _, mn = sim_map("Q", "R", q, r, normalize_input=True, similarity_type="chamfer")
+        np.testing.assert_allclose(mn, sim_norm(chamfer_sim(qn, rn)))

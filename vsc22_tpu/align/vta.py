@@ -464,14 +464,53 @@ def hv(
 # ---------------------------------------------------------------------------
 
 
+def chamfer_sim(q: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Symmetric chamfer similarity between per-frame local-descriptor sets.
+
+    q: [Q, m, D] (m local descriptors per query frame), r: [R, n, D].
+    Returns [Q, R]: the average of mean-over-n(max-over-m) and
+    mean-over-m(max-over-n) of the 4-D similarity tensor.
+
+    Parity target: D1/infer/vcsl/vta.py:14-26 (chamfer_sim_cpu/gpu).
+    """
+    sim = np.einsum("qmd,rnd->qmnr", q, r)  # tensordot(q, r.T, axes=1)
+    c1 = sim.max(axis=1).mean(axis=1)  # max over m, mean over n -> [Q, R]
+    c2 = sim.max(axis=2).mean(axis=1)  # max over n, mean over m -> [Q, R]
+    return (c1 + c2) / 2.0
+
+
+def sim_norm(
+    sim: np.ndarray, lower_bound: float = 0.0, upper_bound: float = 0.3
+) -> np.ndarray:
+    """Clip to [lower, upper] and rescale by the range.
+
+    Parity target: D1/infer/vcsl/vta.py:28-29.
+    """
+    return np.clip(sim, lower_bound, upper_bound) / (upper_bound - lower_bound)
+
+
 def sim_map(
-    qid: str, rid: str, q: np.ndarray, r: np.ndarray, normalize_input: bool = False
+    qid: str,
+    rid: str,
+    q: np.ndarray,
+    r: np.ndarray,
+    normalize_input: bool = False,
+    similarity_type: str = "cos",
 ) -> Tuple[str, str, np.ndarray]:
-    """Cosine/IP similarity map between two descriptor sequences."""
+    """Similarity map between two descriptor sequences.
+
+    ``cos`` expects [N, D] descriptor rows; ``chamfer`` expects [N, m, D]
+    per-frame descriptor sets and applies sim_norm to the chamfer map
+    (parity target: D1/infer/vcsl/vta.py:32-41).
+    """
     if normalize_input:
-        q = q / np.linalg.norm(q, axis=1, keepdims=True)
-        r = r / np.linalg.norm(r, axis=1, keepdims=True)
-    return qid, rid, np.dot(q, r.T)
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        r = r / np.linalg.norm(r, axis=-1, keepdims=True)
+    if similarity_type == "cos":
+        return qid, rid, np.dot(q, r.T)
+    if similarity_type == "chamfer":
+        return qid, rid, sim_norm(chamfer_sim(q, r))
+    raise ValueError(f"Unknown similarity_type {similarity_type}")
 
 
 class BaseVtaModel:
@@ -486,8 +525,16 @@ class BaseVtaModel:
         self.func_to_run = func_to_run
         self.concurrency = concurrency
 
-    def forward(self, data: List[Tuple[str, str, np.ndarray, np.ndarray]]) -> List[Any]:
-        sims = [(f"{q}-{r}", sim_map(q, r, qf, rf)[2]) for q, r, qf, rf in data]
+    def forward(
+        self,
+        data: List[Tuple[str, str, np.ndarray, np.ndarray]],
+        normalize_input: bool = False,
+        similarity_type: str = "cos",
+    ) -> List[Any]:
+        sims = [
+            (f"{q}-{r}", sim_map(q, r, qf, rf, normalize_input, similarity_type)[2])
+            for q, r, qf, rf in data
+        ]
         return self.forward_sim(sims)
 
     def forward_sim(self, data: List[Tuple[str, np.ndarray]]) -> List[Any]:

@@ -109,3 +109,47 @@ def test_pallas_row_max_single_row_and_tiny():
     q = rng.standard_normal((1, 8)).astype(np.float32)
     r = rng.standard_normal((3, 8)).astype(np.float32)
     np.testing.assert_allclose(row_max_gemm(q, r), (q @ r.T).max(axis=1), atol=1e-6)
+
+
+def test_global_topk_exact_at_scale():
+    """Exactness regression (VERDICT r1 #6): the default searcher's
+    global_topk must equal the numpy brute-force global top-k at a scale
+    where the budget-doubling fix-up path is exercised (>=100k ref rows)."""
+    rng = np.random.default_rng(7)
+    nr, nq, d, k = 120_000, 192, 32, 3000
+    r = rng.standard_normal((nr, d)).astype(np.float32)
+    r /= np.linalg.norm(r, axis=1, keepdims=True)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # plant a few strong matches so scores are not one flat noise band
+    q[:8] = r[1000:1008] + rng.normal(0, 0.05, (8, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    qi, ri, sc = SimilaritySearcher(r).global_topk(q, k)
+    sims = q @ r.T
+    flat = sims.reshape(-1)
+    top = np.sort(flat)[-k:][::-1]
+    assert_allclose(sc, top, atol=2e-6)
+    # every returned (q, r) pair's score must equal the matrix entry
+    assert_allclose(sims[qi, ri], sc, atol=0)
+    # strict-majority membership check (ties at tau may break either way)
+    strict = top > top[-1] + 1e-6
+    order = np.argsort(-flat, kind="stable")[:k]
+    expected = set(zip(order[strict] // nr, order[strict] % nr))
+    assert set(zip(qi[strict], ri[strict])) == expected
+
+
+def test_use_approx_is_optin_and_high_recall():
+    """Approx mode is opt-in; on any platform its recall vs exact stays high
+    (on CPU approx_max_k lowers to an exact reduction; on TPU the bucketed
+    partial reduce is measured at recall 1.000 at this scale)."""
+    rng = np.random.default_rng(8)
+    r = rng.standard_normal((20_000, 32)).astype(np.float32)
+    q = rng.standard_normal((64, 32)).astype(np.float32)
+    exact = SimilaritySearcher(r)
+    approx = SimilaritySearcher(r, use_approx=True)
+    assert exact.use_approx is False
+    se, ie = exact.row_topk(q, 25)
+    sa, ia = approx.row_topk(q, 25)
+    hits = np.mean([len(set(ie[i]) & set(ia[i])) / 25.0 for i in range(len(q))])
+    assert hits >= 0.98

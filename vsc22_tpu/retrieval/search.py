@@ -19,6 +19,14 @@ directly on device:
      (exactness fix-up; rare in practice);
   4. host-side sort + truncate.
 
+Exactness contract: with the default `use_approx=False` every per-tile
+selection is `lax.top_k`, so `global_topk`/`threshold_search` results are
+exactly the reference's adaptive-range-search semantics. `use_approx=True`
+opts into `lax.approx_max_k` per tile (~1.6x faster at 2.4M rows, measured
+recall 1.000 at recall_target=0.99) — results are then high-recall
+approximate and τ itself derives from approximate scores; use only where
+the consumer tolerates it (never the µAP-critical candidate generation).
+
 Multi-chip: references are sharded along the mesh's ``data`` axis with
 `shard_map`; each device scans its shard, local top-k results are
 all-gathered over ICI and re-reduced. Queries are replicated (they are tiny
@@ -62,7 +70,7 @@ def _merge_topk(best_s, best_i, new_s, new_i, k: int):
 
 def _row_topk_impl(
     queries, refs, num_valid, *, k: int, ref_tile: int, vary_axis=None,
-    compute_dtype=None, use_approx: bool = True,
+    compute_dtype=None, use_approx: bool = False,
 ):
     """Per-query-row top-k of `queries @ refs.T`, scanning reference tiles.
 
@@ -123,7 +131,7 @@ def _row_topk_impl(
 )
 def _row_topk_local(
     queries, refs, num_valid, *, k: int, ref_tile: int, compute_dtype=None,
-    use_approx: bool = True,
+    use_approx: bool = False,
 ):
     return _row_topk_impl(
         queries, refs, num_valid, k=k, ref_tile=ref_tile,
@@ -133,7 +141,7 @@ def _row_topk_local(
 
 def _make_sharded_row_topk(
     mesh: Mesh, axis: str, *, k: int, ref_tile: int, shard_rows: int,
-    compute_dtype=None, use_approx: bool = True,
+    compute_dtype=None, use_approx: bool = False,
 ):
     """shard_map'd row-top-k: refs row-sharded along `axis`, queries replicated."""
 
@@ -185,7 +193,7 @@ class SimilaritySearcher:
         ref_tile: int = 8192,
         query_tile: int = 4096,
         compute_dtype=None,
-        use_approx: bool = True,
+        use_approx: bool = False,
     ):
         self.num_refs = int(refs.shape[0])
         self.compute_dtype = compute_dtype
@@ -215,7 +223,8 @@ class SimilaritySearcher:
 
     # ------------------------------------------------------------------
     def row_topk(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact per-row top-k. Returns (scores [Nq,k], indices [Nq,k])."""
+        """Per-row top-k; exact unless the searcher opted into use_approx.
+        Returns (scores [Nq,k], indices [Nq,k])."""
         nq = queries.shape[0]
         k_eff = max(1, min(k, self.num_refs))
         q = _pad_rows(queries.astype(np.float32), 128)
@@ -255,10 +264,13 @@ class SimilaritySearcher:
     def global_topk(
         self, queries: np.ndarray, global_k: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Exact global top-`global_k` entries of the Q×R similarity matrix.
+        """Global top-`global_k` entries of the Q×R similarity matrix.
 
-        Returns (q_idx, r_idx, score) sorted by descending score, of length
-        min(global_k, Nq * num_refs).
+        Exact with the default `use_approx=False` (per-tile `lax.top_k` plus
+        the budget-doubling fix-up below); with `use_approx=True` both the
+        candidate lists and the threshold τ derive from `lax.approx_max_k`
+        and the result is high-recall approximate. Returns (q_idx, r_idx,
+        score) sorted by descending score, length min(global_k, Nq*num_refs).
         """
         nq = queries.shape[0]
         total = nq * self.num_refs

@@ -25,6 +25,12 @@ import pytest  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (full-size backbone parity)"
+    )
+
+
 @pytest.fixture(scope="session")
 def cpu_mesh():
     """An 8-device 1-D mesh with a 'data' axis."""

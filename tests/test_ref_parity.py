@@ -1,0 +1,149 @@
+"""Full-backbone numerics parity against the reference's vendored torch models.
+
+These tests build the reference's OWN model code (random-init, f32, eval
+mode), port the torch state_dict into the Flax backbones via
+utils.port_weights, and assert the descriptor outputs match — the proof that
+reference-trained checkpoints produce identical descriptors through this
+framework.
+
+  - SwinV2: the complete vendored Microsoft implementation + GeM head
+    (D1/train/train_v106/vsc/.../backbones/swinv2.py:509-678), real Base@256
+    config from config_v106.py.
+  - ViT/SSCD: the vendored SSCD head code (D1/train/train_v68/vsc/.../
+    backbones/sscd.py:59-152) over a faithful timm `vit_base_patch32_384`
+    (timm itself is absent; see ref_torch_loader.TorchViT), real v68 config
+    (add_head=True, dims=(768, 512), 384x384 inputs).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ref_torch_loader import load_reference_sscd, load_reference_swinv2  # noqa: E402
+
+
+def _to_flax_input(x_torch: torch.Tensor) -> np.ndarray:
+    return x_torch.numpy().transpose(0, 2, 3, 1)
+
+
+@pytest.mark.slow
+def test_swinv2_full_model_parity():
+    import jax.numpy as jnp
+
+    from vsc22_tpu.models.swinv2 import SWINV2_BASE_256, SwinTransformerV2
+    from vsc22_tpu.utils.port_weights import port_swinv2_torch_state_dict
+
+    RefSwin = load_reference_swinv2()
+    torch.manual_seed(0)
+    ref = RefSwin(
+        img_size=256,
+        patch_size=4,
+        window_size=16,
+        num_heads=[4, 8, 16, 32],
+        embed_dim=128,
+        depths=[2, 2, 18, 2],
+        pretrained_window_sizes=[12, 12, 12, 6],
+        drop_path_rate=0.2,
+        pretrained="",
+        output_dim=512,
+        p=3.0,
+        use_checkpoint=False,
+    ).eval()
+
+    x = torch.randn(2, 3, 256, 256)
+    with torch.no_grad():
+        ref_out = ref(x).numpy()
+
+    model = SwinTransformerV2(cfg=SWINV2_BASE_256, dtype=jnp.float32)
+    import jax
+
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = port_swinv2_torch_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, template
+    )
+    out = np.asarray(model.apply(params, jnp.asarray(_to_flax_input(x))))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_vit_sscd_full_model_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from vsc22_tpu.models.vit import VIT_BASE_PATCH32_384, VitDescriptor
+    from vsc22_tpu.utils.port_weights import port_vit_torch_state_dict
+
+    RefSSCD = load_reference_sscd()
+    torch.manual_seed(1)
+    ref = RefSSCD(
+        name="vit_base_patch32_384",
+        pool_param=3.0,
+        pool="gem",
+        pretrained="",
+        use_classify=False,
+        dims=(768, 512),
+        add_head=True,
+    ).eval()
+    # randomize beyond torch's default init so parity is non-trivial
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.ndim >= 2:
+                p.normal_(0, 0.02)
+
+    x = torch.randn(2, 3, 384, 384)
+    with torch.no_grad():
+        ref_out = ref(x).numpy()
+
+    model = VitDescriptor(cfg=VIT_BASE_PATCH32_384, dtype=jnp.float32)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 384, 384, 3)))
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = port_vit_torch_state_dict(ref.state_dict(), template)
+    out = np.asarray(model.apply(params, jnp.asarray(_to_flax_input(x))))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-3, rtol=1e-3)
+
+
+def test_vit_port_accepts_ddp_prefixes():
+    """Reference checkpoints carry module.backbone.model. prefixes; the port
+    must strip them (torch2scripts.py:679 strips module.backbone.)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsc22_tpu.models.vit import VIT_TINY_TEST, VitDescriptor
+    from vsc22_tpu.utils.port_weights import port_vit_torch_state_dict
+    from ref_torch_loader import TorchViT
+
+    cfg = VIT_TINY_TEST
+    tv = TorchViT(img_size=cfg.img_size, patch_size=cfg.patch_size,
+                  dim=cfg.embed_dim, depth=cfg.depth, heads=cfg.num_heads).eval()
+    head_conv = torch.nn.Conv1d(cfg.embed_dim, 64, 1)
+    head_lin = torch.nn.Linear(64, 16)
+
+    sd = {f"module.backbone.model.backbone.{k}": v for k, v in tv.state_dict().items()}
+    sd["module.backbone.model.embeddings.0.conv.weight"] = head_conv.weight
+    sd["module.backbone.model.embeddings.0.conv.bias"] = head_conv.bias
+    sd["module.backbone.model.embeddings.1.weight"] = head_lin.weight
+    sd["module.backbone.model.embeddings.1.bias"] = head_lin.bias
+
+    model = VitDescriptor(cfg=cfg, head_dim=64, out_dim=16, dtype=jnp.float32)
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    )
+    params = port_vit_torch_state_dict(sd, jax.tree.map(np.asarray, template))
+
+    x = torch.randn(2, 3, cfg.img_size, cfg.img_size)
+    with torch.no_grad():
+        tokens = tv(x)
+        h = head_conv(tokens.transpose(1, 2)).clamp(min=1e-6).pow(3.0).mean(2).pow(1 / 3.0)
+        expected = head_lin(h).numpy()
+    out = np.asarray(model.apply(params, jnp.asarray(_to_flax_input(x))))
+    np.testing.assert_allclose(out, expected, atol=1e-4, rtol=1e-4)

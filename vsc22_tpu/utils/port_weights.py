@@ -107,6 +107,75 @@ def port_vit_augreg_npz(npz: Mapping[str, np.ndarray], params_template) -> Dict:
     return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
+def port_vit_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_template) -> Dict:
+    """Fill VitDescriptor params from a torch SSCD/v68 state_dict.
+
+    Expects timm ViT key names under ``backbone.`` plus the SSCD head
+    (``embeddings.0.conv`` = GeM 1x1 projection, ``embeddings.1`` = output
+    Linear), i.e. exactly a reference v68 checkpoint after stripping the
+    ``module.backbone.model.`` DDP prefix (D1/train/train_v106/
+    torch2scripts.py:672-699 does the same strip before tracing). A bare
+    ``model.`` prefix is stripped automatically.
+    """
+    import flax
+
+    sd = {}
+    for k, v in state_dict.items():
+        for prefix in ("module.backbone.model.", "module.backbone.", "model."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+                break
+        sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    flat = flax.traverse_util.flatten_dict(params_template["params"])
+    out = dict(flat)
+
+    def put(key, value):
+        if key not in out:
+            raise KeyError(f"template missing {key}")
+        if out[key].shape != value.shape:
+            raise ValueError(f"{key}: torch {value.shape} != template {out[key].shape}")
+        out[key] = value.astype(np.asarray(out[key]).dtype)
+
+    def linear(dst, src):
+        put(dst + ("kernel",), sd[f"{src}.weight"].T)
+        if f"{src}.bias" in sd:
+            put(dst + ("bias",), sd[f"{src}.bias"])
+
+    def norm(dst, src):
+        put(dst + ("scale",), sd[f"{src}.weight"])
+        put(dst + ("bias",), sd[f"{src}.bias"])
+
+    bb = ("backbone",)
+    put(bb + ("patch_embed", "kernel"), sd["backbone.patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    put(bb + ("patch_embed", "bias"), sd["backbone.patch_embed.proj.bias"])
+    put(bb + ("cls_token",), sd["backbone.cls_token"])
+    pos = sd["backbone.pos_embed"]
+    target = out[bb + ("pos_embed",)].shape[1]
+    put(bb + ("pos_embed",), _interp_pos_embed(pos, target))
+
+    i = 0
+    while f"backbone.blocks.{i}.norm1.weight" in sd:
+        t = f"backbone.blocks.{i}"
+        blk = bb + (f"block{i}",)
+        norm(blk + ("norm1",), f"{t}.norm1")
+        norm(blk + ("norm2",), f"{t}.norm2")
+        linear(blk + ("attn", "qkv"), f"{t}.attn.qkv")
+        linear(blk + ("attn", "proj"), f"{t}.attn.proj")
+        put(blk + ("mlp", "fc1_kernel"), sd[f"{t}.mlp.fc1.weight"].T)
+        put(blk + ("mlp", "fc1_bias"), sd[f"{t}.mlp.fc1.bias"])
+        put(blk + ("mlp", "fc2_kernel"), sd[f"{t}.mlp.fc2.weight"].T)
+        put(blk + ("mlp", "fc2_bias"), sd[f"{t}.mlp.fc2.bias"])
+        i += 1
+
+    norm(bb + ("norm",), "backbone.norm")
+    # SSCD head: Conv1d(k=1) == Dense over tokens; then the output Linear.
+    put(("gem", "proj", "kernel"), sd["embeddings.0.conv.weight"][:, :, 0].T)
+    put(("gem", "proj", "bias"), sd["embeddings.0.conv.bias"])
+    linear(("head",), "embeddings.1")
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
 def port_swinv2_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_template) -> Dict:
     """Fill SwinTransformerV2 params from a torch SwinV2 state_dict.
 

@@ -257,3 +257,47 @@ class TestChamfer:
         rn = r / np.linalg.norm(r, axis=-1, keepdims=True)
         _, _, mn = sim_map("Q", "R", q, r, normalize_input=True, similarity_type="chamfer")
         np.testing.assert_allclose(mn, sim_norm(chamfer_sim(qn, rn)))
+
+
+class TestTnNative:
+    """The C++ vta_tn kernel must be bit-identical to the numpy TN."""
+
+    @staticmethod
+    def _corpus():
+        rng = np.random.default_rng(11)
+        cases = []
+        for q, r in [(30, 40), (64, 64), (17, 90), (120, 55)]:
+            sims = rng.normal(0, 0.1, (q, r))
+            # plant one strong diagonal + one weak off-diagonal segment
+            d = min(q, r) // 2
+            sims[np.arange(d), np.arange(d) + 3 if r > d + 3 else np.arange(d)] += 0.9
+            sims[np.arange(5, d), np.arange(5, d)] += 0.4
+            cases.append(sims)
+        cases.append(rng.normal(0, 0.3, (48, 48)))  # pure noise
+        cases.append(np.zeros((10, 10)))  # degenerate
+        return cases
+
+    def test_native_matches_numpy(self):
+        from vsc22_tpu.align.vta import _tn_numpy, tn
+        from vsc22_tpu.native import load_library
+
+        if load_library() is None:
+            pytest.skip("no native toolchain")
+        for sims in self._corpus():
+            for kwargs in (
+                {},
+                {"tn_max_step": 5, "tn_top_k": 3},
+                {"max_path": 3, "min_sim": 0.1, "min_length": 3, "max_iou": 0.5},
+            ):
+                assert tn(sims, **kwargs) == _tn_numpy(sims, **kwargs), kwargs
+
+    def test_planted_segment_found(self):
+        from vsc22_tpu.align.vta import tn
+
+        rng = np.random.default_rng(12)
+        sims = rng.normal(0, 0.05, (60, 80))
+        sims[np.arange(10, 40), np.arange(20, 50)] = 0.95
+        boxes = tn(sims, tn_max_step=5)
+        assert len(boxes) >= 1
+        q0, r0, q1, r1 = boxes[0]
+        assert q0 <= 12 and q1 >= 38 and r0 <= 22 and r1 >= 48

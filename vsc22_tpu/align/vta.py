@@ -330,12 +330,53 @@ def tn(
     """Temporal-network alignment: top-k matches per query frame become DAG
     nodes; constraint-filtered edges (C1 step bound, C2 forward ref motion,
     C3 no used intermediate ref frame, C4 min similarity); repeated longest
-    paths become boxes, NMS'd by IoU."""
+    paths become boxes, NMS'd by IoU.
+
+    Runs in native C++ when the toolchain is available (native/
+    vta_kernels.cpp `vta_tn`, bit-identical to the numpy fallback below;
+    both use stable descending top-k so tie-breaking is well-defined —
+    the only deviation from the reference's unstable np.argsort)."""
+    from vsc22_tpu.native import load_library
+
+    lib = load_library()
+    if lib is not None:
+        import ctypes
+
+        sims64 = np.ascontiguousarray(sims, np.float64)
+        max_boxes = max_path + 1
+        out = np.empty((max_boxes, 4), np.int32)
+        n = lib.vta_tn(
+            sims64.ctypes.data_as(ctypes.c_void_p),
+            sims64.shape[0],
+            sims64.shape[1],
+            int(tn_max_step),
+            int(tn_top_k),
+            int(max_path),
+            float(min_sim),
+            int(min_length),
+            float(max_iou),
+            out.ctypes.data_as(ctypes.c_void_p),
+            max_boxes,
+        )
+        return [[int(v) for v in row] for row in out[:n]]
+    return _tn_numpy(sims, tn_max_step, tn_top_k, max_path, min_sim, min_length, max_iou)
+
+
+def _tn_numpy(
+    sims: np.ndarray,
+    tn_max_step: int = 10,
+    tn_top_k: int = 5,
+    max_path: int = 10,
+    min_sim: float = 0.2,
+    min_length: int = 5,
+    max_iou: float = 0.3,
+) -> List[List[int]]:
+    """Pure-numpy TN (the C++ kernel's reference implementation)."""
     boxes: List[List[int]] = []
     q_len = sims.shape[0]
     top = min(tn_top_k, sims.shape[1])
 
-    topk_indices = np.argsort(-sims)[:, :top]
+    topk_indices = np.argsort(-sims, kind="stable")[:, :top]
     topk_sims = np.take_along_axis(sims, topk_indices, axis=-1)
 
     # Node layout: 0 = source; pair (q, k) -> 1 + q*top + k. The last pair

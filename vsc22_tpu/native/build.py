@@ -104,6 +104,20 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.vta_tn.restype = ctypes.c_int64
+        lib.vta_tn.argtypes = [
+            ctypes.c_void_p,  # sims
+            ctypes.c_int64,  # q_len
+            ctypes.c_int64,  # r_len
+            ctypes.c_int64,  # tn_max_step
+            ctypes.c_int64,  # tn_top_k
+            ctypes.c_int64,  # max_path
+            ctypes.c_double,  # min_sim
+            ctypes.c_int64,  # min_length
+            ctypes.c_double,  # max_iou
+            ctypes.c_void_p,  # out_boxes
+            ctypes.c_int64,  # max_boxes
+        ]
 
         _lib = lib
         return _lib

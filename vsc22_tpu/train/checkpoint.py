@@ -42,11 +42,23 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
-        """Restore into the structure of `state_template` (abstract ok)."""
+        """Restore into the structure of `state_template` (abstract ok).
+
+        Every restored leaf is re-placed onto its template leaf's sharding —
+        orbax does not guarantee this for all leaves (observed: scalar step
+        restored single-device while params stayed mesh-replicated, which
+        then fails jit's consistent-devices check on the next train step).
+        """
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+        def replace(t, r):
+            sharding = getattr(t, "sharding", None)
+            return jax.device_put(r, sharding) if sharding is not None else r
+
+        return jax.tree.map(replace, state_template, restored)
 
     def close(self):
         self._mgr.close()

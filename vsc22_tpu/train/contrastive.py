@@ -160,6 +160,22 @@ def create_train_state(
     # Materialize a distinct copy: aliased buffers would be donated twice.
     ema = jax.tree.map(jnp.copy, params) if cfg.ema_decay is not None else None
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, ema_params=ema)
+    if mesh is not None:
+        # Commit every remaining uncommitted leaf (step counter, optax
+        # counts/zeros) to the replicated mesh sharding: checkpoint restore
+        # re-places leaves onto their template shardings, and a leaf that is
+        # merely uncommitted here would come back committed to one device
+        # and clash with the mesh-committed params under jit.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+
+        def place(x):
+            if isinstance(x, jax.Array) and not isinstance(x.sharding, NamedSharding):
+                return jax.device_put(x, rep)
+            return x
+
+        state = jax.tree.map(place, state)
     return state, tx
 
 

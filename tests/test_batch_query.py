@@ -1,0 +1,107 @@
+"""BatchedQueryPipeline equivalence with the per-video QueryPipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from vsc22_tpu.models.clip import clip_tiny_test
+from vsc22_tpu.models.vit import vit_tiny_test_descriptor
+from vsc22_tpu.models.vsm import VSMConfig, VideoScoreModel
+from vsc22_tpu.ops.pca import pca_fit
+from vsc22_tpu.pipelines.batch_query import (
+    BatchedExtractor,
+    BatchedQueryPipeline,
+    BatchedVED,
+)
+from vsc22_tpu.pipelines.query_extract import (
+    DescriptorExtractor,
+    QueryPipeline,
+    VideoEditDetector,
+)
+
+
+@pytest.fixture(scope="module")
+def parts():
+    models = []
+    for seed in (0, 1):
+        model = vit_tiny_test_descriptor()
+        params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)), train=False)
+        models.append((model, params))
+    rng = np.random.default_rng(3)
+    pca = pca_fit(rng.standard_normal((100, 32)).astype(np.float32), 8)
+    clip_model = clip_tiny_test()
+    clip_params = clip_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    vsm_model = VideoScoreModel(
+        cfg=VSMConfig(feat_dim=32, hidden=32, layers=1, heads=2, max_frames=8)
+    )
+    vsm_params = vsm_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 32)), train=False)
+    return models, pca, (clip_model, clip_params, vsm_model, vsm_params)
+
+
+def make_videos(k=3, frames=6, res=(64, 64)):
+    rng = np.random.default_rng(7)
+    return [
+        np.stack([rng.integers(0, 255, (*res, 3), dtype=np.uint8) for _ in range(frames)])
+        for _ in range(k)
+    ]
+
+
+def test_batched_matches_per_video(parts):
+    models, pca, (cm, cp, vm, vp) = parts
+    videos = make_videos()
+    names = [f"Q{i:06d}" for i in range(len(videos))]
+
+    seq_pipe = QueryPipeline(
+        [DescriptorExtractor(model=m, params=p, size=64, preset="vit", chunk=4)
+         for m, p in models],
+        pca=pca,
+        ved=VideoEditDetector(cm, cp, vm, vp, max_frames=8),
+        use_fsd=False,
+        score_threshold=0.0,
+        out_dim=8,
+    )
+    bat_pipe = BatchedQueryPipeline(
+        [BatchedExtractor(model=m, params=p, size=64, preset="vit", chunk=4)
+         for m, p in models],
+        pca=pca,
+        ved=BatchedVED(cm, cp, vm, vp, max_frames=8, chunk=4),
+        use_fsd=False,
+        score_threshold=0.0,
+        out_dim=8,
+    )
+    seq = [seq_pipe.process_video(n, list(v))[0] for n, v in zip(names, videos)]
+    bat = bat_pipe.process_batch(names, videos)
+    assert [f.video_id for f in bat] == names
+    for s, b in zip(seq, bat):
+        # device resize (jax cubic) vs host resize (cv2 cubic) differ slightly
+        assert s.feature.shape == b.feature.shape
+        assert_allclose(b.feature, s.feature, atol=0.05)
+        cos = np.sum(b.feature * s.feature, axis=1) / (
+            np.linalg.norm(b.feature, axis=1) * np.linalg.norm(s.feature, axis=1)
+        )
+        assert cos.min() > 0.999
+        assert_allclose(b.timestamps, s.timestamps)
+    for n in names:
+        assert abs(seq_pipe.video_scores[n] - bat_pipe.video_scores[n]) < 0.05
+
+
+def test_batched_placeholder_sequence(parts):
+    """Unedited videos get the same deterministic placeholder sequence."""
+    models, pca, _ = parts
+
+    bat_pipe = BatchedQueryPipeline(
+        [BatchedExtractor(model=m, params=p, size=64, preset="vit", chunk=4)
+         for m, p in models],
+        pca=pca, ved=None, use_fsd=False, out_dim=8,
+    )
+    # force gating by monkey-level: threshold above the default 1.0 score
+    bat_pipe.score_threshold = 2.0
+    videos = make_videos(k=2)
+    out = bat_pipe.process_batch(["Q1", "Q2"], videos)
+    for i, f in enumerate(out, start=1):
+        np.random.seed(i)
+        expect = np.random.uniform(-1e-5, 1e-5, size=8).astype(np.float32)
+        assert_allclose(f.feature[0], expect)
+        assert f.timestamps.shape == (1, 2)

@@ -211,8 +211,108 @@ class WindowAttention(nn.Module):
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares a Dense's {kernel, bias} without applying it."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
+
+
+class _WindowAttnParams(nn.Module):
+    """Parameter bag declaring WindowAttention's exact param tree (same
+    names, shapes, initializers) and returning the raw tensors + the
+    precomputed bias/scale for the fused whole-block kernel."""
+
+    dim: int
+    window: Tuple[int, int]
+    num_heads: int
+    pretrained_window: int = 0
+
+    @nn.compact
+    def __call__(self):
+        c, h = self.dim, self.num_heads
+        logit_scale = self.param(
+            "logit_scale",
+            lambda _key, shape: jnp.full(shape, float(np.log(10.0)), jnp.float32),
+            (h, 1, 1),
+        )
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.truncated_normal(0.02), (c, 3 * c)
+        )
+        q_bias = self.param("q_bias", nn.initializers.zeros, (c,))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (c,))
+        qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+
+        wh, ww = self.window
+        n = wh * ww
+        table = jnp.asarray(_relative_coords_table(wh, ww, self.pretrained_window))
+        cpb = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(table)
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(h, use_bias=False, dtype=jnp.float32, name="cpb_fc2")(cpb)
+        cpb = cpb.reshape(-1, h)
+        rel_idx = jnp.asarray(_relative_position_index(wh, ww).reshape(-1))
+        rpb = cpb[rel_idx].reshape(n, n, h).transpose(2, 0, 1)
+        rpb = 16.0 * jax.nn.sigmoid(rpb)
+        scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0)))).reshape(h)
+
+        proj_kernel, proj_bias = _DenseParams(c, c, name="proj")()
+        return qkv_kernel, qkv_bias, rpb, scale, proj_kernel, proj_bias
+
+
+class _LayerNormParams(nn.Module):
+    """Declares a LayerNorm's {scale, bias} without applying it."""
+
+    dim: int
+    zero_scale: bool = False
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale",
+            nn.initializers.zeros if self.zero_scale else nn.initializers.ones,
+            (self.dim,),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class _MlpParams(nn.Module):
+    """Declares models.layers.Mlp's exact param tree without applying it."""
+
+    in_dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1 = self.param(
+            "fc1_kernel", nn.initializers.lecun_normal(), (self.in_dim, self.hidden_dim)
+        )
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (self.hidden_dim,))
+        w2 = self.param(
+            "fc2_kernel", nn.initializers.lecun_normal(), (self.hidden_dim, self.in_dim)
+        )
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (self.in_dim,))
+        return w1, b1, w2, b2
+
+
 class SwinBlock(nn.Module):
-    """Res-post-norm Swin block; post-LNs zero-initialized (identity start)."""
+    """Res-post-norm Swin block; post-LNs zero-initialized (identity start).
+
+    On TPU in deterministic mode the whole block (QKV -> cosine attention ->
+    proj -> LN -> MLP -> LN, with residuals) runs as ONE Pallas kernel per
+    window group (ops/pallas_swin_block) — a single HBM read+write of the
+    activations instead of ~15 passes. The module path below is the CPU /
+    training / numerical-reference implementation; both declare identical
+    parameter trees.
+    """
 
     dim: int
     input_resolution: Tuple[int, int]
@@ -223,14 +323,70 @@ class SwinBlock(nn.Module):
     drop_path: float
     pretrained_window: int
     dtype: jnp.dtype = jnp.float32
+    fused_block: Optional[bool] = None  # None = auto (TPU + deterministic)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from vsc22_tpu.ops.pallas_swin_block import _vmem_estimate, swin_block
+
         h, w = self.input_resolution
         b, l, c = x.shape
         window, shift = self.window_size, self.shift_size
         if min(h, w) <= window:
             window, shift = min(h, w), 0
+        n = window * window
+        hidden = int(c * self.mlp_ratio)
+
+        use_fused = self.fused_block
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        use_fused = (
+            use_fused
+            and deterministic
+            and c % 128 == 0
+            and hidden % 128 == 0
+            and _vmem_estimate(1, n, c, hidden, self.num_heads, jnp.dtype(self.dtype).itemsize)
+            < 48 * 2**20
+        )
+
+        if use_fused:
+            qkv_kernel, qkv_bias, rpb, scale, proj_kernel, proj_bias = _WindowAttnParams(
+                self.dim,
+                (window, window),
+                self.num_heads,
+                pretrained_window=self.pretrained_window,
+                name="attn",
+            )()
+            ln1_s, ln1_b = _LayerNormParams(c, zero_scale=True, name="norm1")()
+            w1, b1, w2, b2 = _MlpParams(c, hidden, name="mlp")()
+            ln2_s, ln2_b = _LayerNormParams(c, zero_scale=True, name="norm2")()
+
+            xs = x.reshape(b, h, w, c)
+            if shift > 0:
+                xs = jnp.roll(xs, shift=(-shift, -shift), axis=(1, 2))
+            windows = window_partition(xs, window).astype(self.dtype)
+            if shift > 0:
+                mask = jnp.asarray(_shift_attn_mask(h, w, window, shift))
+                nw = mask.shape[0]
+            else:
+                mask = jnp.zeros((1, n, n), jnp.float32)
+                nw = 1
+            dt = self.dtype
+            out_w = swin_block(
+                windows,
+                qkv_kernel.astype(dt), qkv_bias.astype(jnp.float32),
+                proj_kernel.astype(dt), proj_bias.astype(jnp.float32),
+                ln1_s, ln1_b,
+                w1.astype(dt), b1.astype(jnp.float32),
+                w2.astype(dt), b2.astype(jnp.float32),
+                ln2_s, ln2_b,
+                rpb, scale, mask,
+                self.num_heads, nw,
+            )
+            xs = window_reverse(out_w, window, h, w)
+            if shift > 0:
+                xs = jnp.roll(xs, shift=(shift, shift), axis=(1, 2))
+            return xs.reshape(b, l, c)
 
         shortcut = x
         xs = x.reshape(b, h, w, c)

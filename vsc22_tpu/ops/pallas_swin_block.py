@@ -1,0 +1,357 @@
+"""Fully-fused SwinV2 block (Pallas TPU kernel): QKV -> cosine window
+attention -> proj -> res-post-norm -> MLP -> res-post-norm, per window,
+entirely in VMEM.
+
+Why: SwinV2-Base@256 is overhead/HBM-bound under XLA (~3% MXU measured):
+every block makes ~15 HBM passes over the activations (QKV in/out, attention
+logits, proj, two f32 LayerNorms, MLP hidden, residuals). Fusing attention
+alone (+5%) and the MLP alone (+6%) left the inter-op traffic; this kernel
+performs ONE block = one HBM read of the window tensor and one write, with
+weights fetched once (constant block index maps).
+
+Semantics match models.swinv2.SwinBlock's inner sequence exactly
+(reference: D1/train/train_v106/vsc/.../swinv2.py:140-286):
+  attn_out = proj(cosine_attn(qkv(x)))            # per 16x16 window
+  x        = x + LN1(attn_out)                    # res-post-norm
+  out      = x + LN2(gelu(x@W1+b1)@W2+b2)
+with f32 softmax/LayerNorm statistics, bf16 GEMMs (f32 accumulation), the
+relative-position bias (16*sigmoid(CPB)) and exp-clamped per-head logit
+scale precomputed per layer, and the shift mask indexed per window.
+
+Per-head cosine normalization runs as two MXU matmuls against a constant
+head-grouping matrix (sum-of-squares per 32-lane head group and its
+broadcast back), avoiding per-head strided lane reductions on the VPU.
+
+Grid: one step per group of G windows (G auto-picked to amortize grid/DMA
+overhead under the VMEM budget); inside, a fori_loop sweeps windows (never
+a Python unroll — each unrolled iteration would get its own VMEM stack
+slab). Stage 4 (C=1024) exceeds the weight budget and keeps the XLA path.
+
+Differentiation: custom VJP recomputes in plain XLA for the backward pass,
+so the kernel is safe inside training steps (same pattern as pallas_mlp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vsc22_tpu.ops.pallas_mlp import _gelu_exact
+
+_LN_EPS = 1e-6  # flax nn.LayerNorm default
+
+
+def _layernorm_f32(x, scale, bias):
+    """LayerNorm with f32 statistics over the last axis; x f32 [N, C]."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    return y * scale + bias
+
+
+def _make_kernel(g_windows: int, num_heads: int, head_dim: int):
+    def _kernel(
+        scale_ref,  # [H] f32 (scalar prefetch)
+        x_ref,  # [1, G, N, C]
+        wq_ref,  # [H, C, hd]
+        wk_ref,  # [H, C, hd]
+        wv_ref,  # [H, C, hd]
+        bq_ref,  # [H, 1, hd] f32
+        bv_ref,  # [H, 1, hd] f32
+        wproj_ref,  # [H, hd, C]
+        proj_b_ref,  # [1, C] f32
+        ln1_s_ref,  # [1, C]
+        ln1_b_ref,  # [1, C]
+        fc1_w_ref,  # [C, F]
+        fc1_b_ref,  # [1, F]
+        fc2_w_ref,  # [F, C]
+        fc2_b_ref,  # [1, C]
+        ln2_s_ref,  # [1, C]
+        ln2_b_ref,  # [1, C]
+        rpb_ref,  # [H, N, N] f32
+        mask_ref,  # [1, G, N, N] f32
+        out_ref,  # [1, G, N, C]
+    ):
+        h = num_heads
+        n = x_ref.shape[2]
+        c = x_ref.shape[3]
+
+        def body(g, carry):
+            x = x_ref[0, g]  # [N, C] compute dtype
+            mask = mask_ref[0, g]  # [N, N] f32
+
+            # Per-head attention. Weights arrive pre-split head-major
+            # ([H, C, hd]) because Mosaic only allows lane slicing at
+            # 128 alignment — dynamic indexing on the leading axis is free.
+            def head_body(h_i, acc):
+                qh = jax.lax.dot_general(
+                    x, wq_ref[h_i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bq_ref[h_i]  # [N, hd] f32
+                kh = jax.lax.dot_general(
+                    x, wk_ref[h_i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # k bias is fixed at zero (SwinV2 convention)
+                vh = (
+                    jax.lax.dot_general(
+                        x, wv_ref[h_i], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + bv_ref[h_i]
+                ).astype(x.dtype)
+                qn = (qh * jax.lax.rsqrt(
+                    jnp.sum(qh * qh, axis=-1, keepdims=True) + 1e-12)).astype(x.dtype)
+                kn = (kh * jax.lax.rsqrt(
+                    jnp.sum(kh * kh, axis=-1, keepdims=True) + 1e-12)).astype(x.dtype)
+                logits = jax.lax.dot_general(
+                    qn, kn, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [N, N]
+                logits = logits * scale_ref[h_i] + rpb_ref[h_i] + mask
+                probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                oh = jax.lax.dot_general(
+                    probs, vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)  # [N, hd]
+                return acc + jax.lax.dot_general(
+                    oh, wproj_ref[h_i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [N, C] f32 accumulator
+
+            proj = jax.lax.fori_loop(
+                0, h, head_body, jnp.zeros((n, c), jnp.float32)
+            ) + proj_b_ref[0].astype(jnp.float32)
+            ln1 = _layernorm_f32(
+                proj, ln1_s_ref[0].astype(jnp.float32), ln1_b_ref[0].astype(jnp.float32)
+            )
+            x1 = (x.astype(jnp.float32) + ln1).astype(x.dtype)
+
+            # ---- MLP + res-post-norm ----
+            hcur = jax.lax.dot_general(
+                x1, fc1_w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + fc1_b_ref[0].astype(jnp.float32)
+            hcur = _gelu_exact(hcur).astype(x.dtype)
+            mlp = jax.lax.dot_general(
+                hcur, fc2_w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + fc2_b_ref[0].astype(jnp.float32)
+            ln2 = _layernorm_f32(
+                mlp, ln2_s_ref[0].astype(jnp.float32), ln2_b_ref[0].astype(jnp.float32)
+            )
+            out_ref[0, g] = (x1.astype(jnp.float32) + ln2).astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, g_windows, body, 0)
+
+    return _kernel
+
+
+def _vmem_estimate(g: int, n: int, c: int, f: int, h: int, itemsize: int) -> int:
+    x_out = 2 * 2 * g * n * c * itemsize  # x + out, double-buffered
+    weights = (4 * c * c + c * f + f * c) * itemsize + 2 * h * hd_bytes(c, h)
+    rpb = h * n * n * 4
+    mask = 2 * g * n * n * 4
+    temps = n * f * 4 + 4 * n * n * 4 + 8 * n * c * 4
+    return x_out + weights + rpb + mask + temps
+
+
+def hd_bytes(c: int, h: int) -> int:
+    return (c // h) * 4
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "num_shift_windows", "interpret")
+)
+def swin_block_fused(
+    x: jax.Array,  # [W, N, C] windows (W = batch * nW, window-major per item)
+    qkv_w: jax.Array,
+    qkv_b: jax.Array,
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    ln1_s: jax.Array,
+    ln1_b: jax.Array,
+    fc1_w: jax.Array,
+    fc1_b: jax.Array,
+    fc2_w: jax.Array,
+    fc2_b: jax.Array,
+    ln2_s: jax.Array,
+    ln2_b: jax.Array,
+    rpb: jax.Array,  # [H, N, N] f32
+    scale: jax.Array,  # [H] f32
+    mask: jax.Array,  # [nW, N, N] f32
+    num_heads: int,
+    num_shift_windows: int,
+    interpret: bool = False,
+) -> jax.Array:
+    w, n, c = x.shape
+    h = num_heads
+    hd = c // h
+    f = fc1_w.shape[1]
+    nw = num_shift_windows
+
+    g_win = nw
+    while g_win > 1 and (
+        g_win > 8 or nw % g_win or _vmem_estimate(g_win, n, c, f, h, x.dtype.itemsize) > 48 * 2**20
+    ):
+        g_win -= 1
+    num_groups = w // g_win
+    groups_per_item = nw // g_win
+
+    x4 = x.reshape(num_groups, g_win, n, c)
+    mask4 = mask.reshape(groups_per_item, g_win, n, n)
+
+    # Head-major weight split: Mosaic only slices lanes at 128 alignment,
+    # so per-head hd-wide slicing happens here, outside the kernel.
+    def split_heads(wmat):  # [C, C] -> [H, C, hd]
+        return jnp.transpose(wmat.reshape(c, h, hd), (1, 0, 2))
+
+    wq = split_heads(qkv_w[:, :c])
+    wk = split_heads(qkv_w[:, c : 2 * c])
+    wv = split_heads(qkv_w[:, 2 * c :])
+    bq = qkv_b[:c].reshape(h, 1, hd).astype(jnp.float32)
+    bv = qkv_b[2 * c :].reshape(h, 1, hd).astype(jnp.float32)
+    wproj = proj_w.reshape(h, hd, c)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i, _s: tuple(0 for _ in shape))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
+            const((h, c, hd)),
+            const((h, c, hd)),
+            const((h, c, hd)),
+            const((h, 1, hd)),
+            const((h, 1, hd)),
+            const((h, hd, c)),
+            const((1, c)),
+            const((1, c)),
+            const((1, c)),
+            const((c, f)),
+            const((1, f)),
+            const((f, c)),
+            const((1, c)),
+            const((1, c)),
+            const((1, c)),
+            const((h, n, n)),
+            pl.BlockSpec((1, g_win, n, n), lambda i, _s: (i % groups_per_item, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _make_kernel(g_win, h, hd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_groups, g_win, n, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(
+        scale,
+        x4,
+        wq,
+        wk,
+        wv,
+        bq,
+        bv,
+        wproj,
+        proj_b.reshape(1, -1).astype(jnp.float32),
+        ln1_s.reshape(1, -1),
+        ln1_b.reshape(1, -1),
+        fc1_w,
+        fc1_b.reshape(1, -1),
+        fc2_w,
+        fc2_b.reshape(1, -1),
+        ln2_s.reshape(1, -1),
+        ln2_b.reshape(1, -1),
+        rpb,
+        mask4,
+    )
+    return out.reshape(w, n, c)
+
+
+def swin_block_reference(
+    x, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, fc1_w, fc1_b, fc2_w, fc2_b,
+    ln2_s, ln2_b, rpb, scale, mask, num_heads, num_shift_windows,
+):
+    """XLA implementation with identical semantics (CPU path, VJP recompute)."""
+    w, n, c = x.shape
+    h = num_heads
+    hd = c // h
+    qkv = (
+        jnp.dot(x, qkv_w, preferred_element_type=jnp.float32) + qkv_b
+    )  # [W, N, 3C] f32
+    qkv = qkv.reshape(w, n, 3, h, hd)
+    q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+    logits = jnp.einsum("whnd,whmd->whnm", q.astype(x.dtype), k.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * scale.reshape(1, -1, 1, 1) + rpb[None]
+    mask_idx = jnp.arange(w) % num_shift_windows
+    logits = logits + mask[mask_idx][:, None]
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    attn = jnp.einsum("whnm,whmd->whnd", probs, v.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+    attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(w, n, c).astype(x.dtype)
+    proj = jnp.dot(attn, proj_w, preferred_element_type=jnp.float32) + proj_b
+    ln1 = _layernorm_f32(proj, ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32))
+    x1 = (x.astype(jnp.float32) + ln1).astype(x.dtype)
+    hmid = jnp.dot(x1, fc1_w, preferred_element_type=jnp.float32) + fc1_b
+    hmid = jax.nn.gelu(hmid, approximate=False).astype(x.dtype)
+    mlp = jnp.dot(hmid, fc2_w, preferred_element_type=jnp.float32) + fc2_b
+    ln2 = _layernorm_f32(mlp, ln2_s.astype(jnp.float32), ln2_b.astype(jnp.float32))
+    return (x1.astype(jnp.float32) + ln2).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17))
+def swin_block(
+    x, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, fc1_w, fc1_b, fc2_w, fc2_b,
+    ln2_s, ln2_b, rpb, scale, mask, num_heads, num_shift_windows,
+):
+    """One full SwinV2 block over pre-partitioned windows.
+
+    Pallas-fused on TPU when the working set fits VMEM (C <= 512 at Base
+    sizes); XLA otherwise. Backward always recomputes in XLA.
+
+    Contract: qkv_b's middle (k) third must be zero — the SwinV2 q/v-bias
+    convention the model builds via concat([q_bias, 0, v_bias]). The fused
+    kernel never applies a k bias.
+    """
+    args = (x, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, fc1_w, fc1_b,
+            fc2_w, fc2_b, ln2_s, ln2_b, rpb, scale, mask)
+    n, c = x.shape[1], x.shape[2]
+    f = fc1_w.shape[1]
+    fits = _vmem_estimate(1, n, c, f, num_heads, x.dtype.itemsize) < 48 * 2**20
+    if jax.default_backend() == "tpu" and fits and c % 128 == 0 and f % 128 == 0:
+        return swin_block_fused(
+            *args, num_heads=num_heads, num_shift_windows=num_shift_windows
+        )
+    return swin_block_reference(*args, num_heads=num_heads,
+                                num_shift_windows=num_shift_windows)
+
+
+def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, fc1_w, fc1_b, fc2_w,
+         fc2_b, ln2_s, ln2_b, rpb, scale, mask, num_heads, num_shift_windows):
+    args = (x, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, fc1_w, fc1_b,
+            fc2_w, fc2_b, ln2_s, ln2_b, rpb, scale, mask)
+    out = swin_block(*args, num_heads, num_shift_windows)
+    return out, args
+
+
+def _bwd(num_heads, num_shift_windows, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: swin_block_reference(
+            *a, num_heads=num_heads, num_shift_windows=num_shift_windows
+        ),
+        *residuals,
+    )
+    return vjp(g)
+
+
+swin_block.defvjp(_fwd, _bwd)

@@ -118,12 +118,21 @@ def _edges_kernel(frames_u8):
     return jnp.mean(strong.astype(jnp.float32), axis=0)
 
 
-def variance_and_edges_device(frames: Sequence[Array]) -> Tuple[Array, Array]:
-    """Device path: per-pixel temporal variance (summed over RGB) + avg edges."""
-    stack = np.stack(frames)
-    var = np.asarray(jnp.var(jnp.asarray(stack, jnp.float32), axis=0).sum(-1))
-    edge_frames = stack[sample_edge_frames(len(frames))]
-    edges = np.asarray(_edges_kernel(edge_frames))
+def variance_and_edges_device(frames) -> Tuple[Array, Array]:
+    """Device path: per-pixel temporal variance (summed over RGB) + avg edges.
+
+    `frames` may be a host frame sequence or an already device-resident
+    [N, H, W, 3] uint8 array (no host round trip in that case).
+    """
+    import jax as _jax
+
+    if isinstance(frames, _jax.Array):
+        stack = frames
+    else:
+        stack = jnp.asarray(np.stack(frames))
+    var = np.asarray(jnp.var(stack.astype(jnp.float32), axis=0).sum(-1))
+    idx = jnp.asarray(sample_edge_frames(int(stack.shape[0])))
+    edges = np.asarray(_edges_kernel(stack[idx]))
     return var, edges
 
 
@@ -345,7 +354,7 @@ def clean_imgs(imgs: List[Array], img_var: Array, avg_canny: Array) -> List[List
 
 
 def image_process(
-    img_list: Sequence, use_device_maps: bool = False
+    img_list: Sequence, use_device_maps: bool = False, device_frames=None
 ) -> Tuple[bool, List]:
     """Full FSD entry point over PIL images or arrays.
 
@@ -353,12 +362,18 @@ def image_process(
     is the concatenation of every scene crop's frame stream (k x more
     frames); otherwise the input unchanged. Any internal failure falls back
     to the raw frames (reference robustness contract).
+
+    `device_frames` may carry an already device-resident [N, H, W, 3] u8
+    copy of the same frames — the variance/edge maps then compute without
+    re-shipping (the cut decisions still run on the host copies).
     """
     from PIL import Image
 
     try:
         imgs = [np.array(x) for x in img_list]
-        if use_device_maps:
+        if device_frames is not None:
+            img_var, avg_canny = variance_and_edges_device(device_frames)
+        elif use_device_maps:
             img_var, avg_canny = variance_and_edges_device(imgs)
         else:
             img_var, avg_canny = variance_and_edges_host(imgs)

@@ -18,14 +18,19 @@ with f32 softmax/LayerNorm statistics, bf16 GEMMs (f32 accumulation), the
 relative-position bias (16*sigmoid(CPB)) and exp-clamped per-head logit
 scale precomputed per layer, and the shift mask indexed per window.
 
-Per-head cosine normalization runs as two MXU matmuls against a constant
-head-grouping matrix (sum-of-squares per 32-lane head group and its
-broadcast back), avoiding per-head strided lane reductions on the VPU.
+QKV runs as three full-MXU-rate transposed GEMMs ([C,C] x [N,C] -> [C,N])
+into VMEM scratch — per-head hd=32-wide output GEMMs would waste 3/4 of the
+MXU, and Mosaic only slices lanes at 128 alignment, so the token-transposed
+layout makes each head a [hd, N] SUBLANE slice (allowed at any multiple of
+the sublane tile). Heads unroll in groups of 4 so Mosaic can overlap one
+head's VPU softmax with the next head's MXU GEMMs; unshifted blocks skip
+the (all-zero) mask add entirely.
 
 Grid: one step per group of G windows (G auto-picked to amortize grid/DMA
 overhead under the VMEM budget); inside, a fori_loop sweeps windows (never
 a Python unroll — each unrolled iteration would get its own VMEM stack
-slab). Stage 4 (C=1024) exceeds the weight budget and keeps the XLA path.
+slab). Stage 4 (C=1024) measures no faster fused (tiny window counts,
+XLA pipelines it well) and keeps the XLA path.
 
 Differentiation: custom VJP recomputes in plain XLA for the backward pass,
 so the kernel is safe inside training steps (same pattern as pallas_mlp).
@@ -54,15 +59,16 @@ def _layernorm_f32(x, scale, bias):
     return y * scale + bias
 
 
-def _make_kernel(g_windows: int, num_heads: int, head_dim: int):
+def _make_kernel(g_windows: int, num_heads: int, head_dim: int,
+                 apply_mask: bool = True, head_unroll: int = 4):
     def _kernel(
         scale_ref,  # [H] f32 (scalar prefetch)
         x_ref,  # [1, G, N, C]
-        wq_ref,  # [H, C, hd]
-        wk_ref,  # [H, C, hd]
-        wv_ref,  # [H, C, hd]
-        bq_ref,  # [H, 1, hd] f32
-        bv_ref,  # [H, 1, hd] f32
+        wq_t_ref,  # [C, C] (output-major: rows = q features)
+        wk_t_ref,  # [C, C]
+        wv_t_ref,  # [C, C]
+        bq_ref,  # [C, 1] f32
+        bv_ref,  # [C, 1] f32
         wproj_ref,  # [H, hd, C]
         proj_b_ref,  # [1, C] f32
         ln1_s_ref,  # [1, C]
@@ -76,45 +82,63 @@ def _make_kernel(g_windows: int, num_heads: int, head_dim: int):
         rpb_ref,  # [H, N, N] f32
         mask_ref,  # [1, G, N, N] f32
         out_ref,  # [1, G, N, C]
+        qt_ref,  # scratch [C, N] f32 (token-transposed q; heads = sublanes)
+        kt_ref,  # scratch [C, N] f32
+        vt_ref,  # scratch [C, N] compute dtype
     ):
         h = num_heads
+        hd = head_dim
         n = x_ref.shape[2]
         c = x_ref.shape[3]
 
+        unroll = 1
+        for cand in range(min(head_unroll, h), 0, -1):
+            if h % cand == 0:
+                unroll = cand
+                break
+
         def body(g, carry):
             x = x_ref[0, g]  # [N, C] compute dtype
-            mask = mask_ref[0, g]  # [N, N] f32
+            mask = mask_ref[0, g] if apply_mask else None  # [N, N] f32
 
-            # Per-head attention. Weights arrive pre-split head-major
-            # ([H, C, hd]) because Mosaic only allows lane slicing at
-            # 128 alignment — dynamic indexing on the leading axis is free.
-            def head_body(h_i, acc):
-                qh = jax.lax.dot_general(
-                    x, wq_ref[h_i], (((1,), (0,)), ((), ())),
+            # QKV as three FULL-rate transposed GEMMs ([C,C] x [N,C] -> [C,N])
+            # into scratch: per-head hd=32 output GEMMs would waste 3/4 of
+            # the MXU's K dim, and lane slicing below 128 is forbidden —
+            # transposed, each head is a [hd, N] SUBLANE slice (allowed).
+            qt_ref[:] = jax.lax.dot_general(
+                wq_t_ref[:], x, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bq_ref[:]
+            kt_ref[:] = jax.lax.dot_general(
+                wk_t_ref[:], x, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # k bias is fixed at zero (SwinV2 convention)
+            vt_ref[:] = (
+                jax.lax.dot_general(
+                    wv_t_ref[:], x, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) + bq_ref[h_i]  # [N, hd] f32
-                kh = jax.lax.dot_general(
-                    x, wk_ref[h_i], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # k bias is fixed at zero (SwinV2 convention)
-                vh = (
-                    jax.lax.dot_general(
-                        x, wv_ref[h_i], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) + bv_ref[h_i]
-                ).astype(x.dtype)
+                ) + bv_ref[:]
+            ).astype(x.dtype)
+
+            def one_head(h_i, acc):
+                row = h_i * hd
+                qh = qt_ref[pl.ds(row, hd), :]  # [hd, N] f32
+                kh = kt_ref[pl.ds(row, hd), :]
+                vh = vt_ref[pl.ds(row, hd), :]
                 qn = (qh * jax.lax.rsqrt(
-                    jnp.sum(qh * qh, axis=-1, keepdims=True) + 1e-12)).astype(x.dtype)
+                    jnp.sum(qh * qh, axis=0, keepdims=True) + 1e-12)).astype(x.dtype)
                 kn = (kh * jax.lax.rsqrt(
-                    jnp.sum(kh * kh, axis=-1, keepdims=True) + 1e-12)).astype(x.dtype)
+                    jnp.sum(kh * kh, axis=0, keepdims=True) + 1e-12)).astype(x.dtype)
                 logits = jax.lax.dot_general(
-                    qn, kn, (((1,), (1,)), ((), ())),
+                    qn, kn, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [N, N]
-                logits = logits * scale_ref[h_i] + rpb_ref[h_i] + mask
+                logits = logits * scale_ref[h_i] + rpb_ref[h_i]
+                if apply_mask:
+                    logits = logits + mask
                 probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
                 oh = jax.lax.dot_general(
-                    probs, vh, (((1,), (0,)), ((), ())),
+                    probs, vh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ).astype(x.dtype)  # [N, hd]
                 return acc + jax.lax.dot_general(
@@ -122,8 +146,16 @@ def _make_kernel(g_windows: int, num_heads: int, head_dim: int):
                     preferred_element_type=jnp.float32,
                 )  # [N, C] f32 accumulator
 
+            def head_group(g_i, acc):
+                # Small static unroll inside the fori: lets Mosaic overlap
+                # one head's VPU softmax with the next head's MXU GEMMs
+                # (temps stay bounded at `unroll` [N, N] tiles).
+                for u in range(unroll):
+                    acc = one_head(g_i * unroll + u, acc)
+                return acc
+
             proj = jax.lax.fori_loop(
-                0, h, head_body, jnp.zeros((n, c), jnp.float32)
+                0, h // unroll, head_group, jnp.zeros((n, c), jnp.float32)
             ) + proj_b_ref[0].astype(jnp.float32)
             ln1 = _layernorm_f32(
                 proj, ln1_s_ref[0].astype(jnp.float32), ln1_b_ref[0].astype(jnp.float32)
@@ -165,7 +197,8 @@ def hd_bytes(c: int, h: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "num_shift_windows", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "num_shift_windows", "apply_mask", "interpret"),
 )
 def swin_block_fused(
     x: jax.Array,  # [W, N, C] windows (W = batch * nW, window-major per item)
@@ -186,6 +219,7 @@ def swin_block_fused(
     mask: jax.Array,  # [nW, N, N] f32
     num_heads: int,
     num_shift_windows: int,
+    apply_mask: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     w, n, c = x.shape
@@ -205,16 +239,13 @@ def swin_block_fused(
     x4 = x.reshape(num_groups, g_win, n, c)
     mask4 = mask.reshape(groups_per_item, g_win, n, n)
 
-    # Head-major weight split: Mosaic only slices lanes at 128 alignment,
-    # so per-head hd-wide slicing happens here, outside the kernel.
-    def split_heads(wmat):  # [C, C] -> [H, C, hd]
-        return jnp.transpose(wmat.reshape(c, h, hd), (1, 0, 2))
-
-    wq = split_heads(qkv_w[:, :c])
-    wk = split_heads(qkv_w[:, c : 2 * c])
-    wv = split_heads(qkv_w[:, 2 * c :])
-    bq = qkv_b[:c].reshape(h, 1, hd).astype(jnp.float32)
-    bv = qkv_b[2 * c :].reshape(h, 1, hd).astype(jnp.float32)
+    # Output-major (transposed) qkv weights: the kernel computes [C, N]
+    # q/k/v tiles so each head is a sublane slice. Proj stays head-split.
+    wq_t = qkv_w[:, :c].T
+    wk_t = qkv_w[:, c : 2 * c].T
+    wv_t = qkv_w[:, 2 * c :].T
+    bq = qkv_b[:c].reshape(c, 1).astype(jnp.float32)
+    bv = qkv_b[2 * c :].reshape(c, 1).astype(jnp.float32)
     wproj = proj_w.reshape(h, hd, c)
 
     def const(shape):
@@ -225,11 +256,11 @@ def swin_block_fused(
         grid=(num_groups,),
         in_specs=[
             pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
-            const((h, c, hd)),
-            const((h, c, hd)),
-            const((h, c, hd)),
-            const((h, 1, hd)),
-            const((h, 1, hd)),
+            const((c, c)),
+            const((c, c)),
+            const((c, c)),
+            const((c, 1)),
+            const((c, 1)),
             const((h, hd, c)),
             const((1, c)),
             const((1, c)),
@@ -244,9 +275,14 @@ def swin_block_fused(
             pl.BlockSpec((1, g_win, n, n), lambda i, _s: (i % groups_per_item, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((c, n), jnp.float32),  # q (token-transposed)
+            pltpu.VMEM((c, n), jnp.float32),  # k
+            pltpu.VMEM((c, n), x.dtype),  # v
+        ],
     )
     out = pl.pallas_call(
-        _make_kernel(g_win, h, hd),
+        _make_kernel(g_win, h, hd, apply_mask=apply_mask),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_groups, g_win, n, c), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
@@ -254,9 +290,9 @@ def swin_block_fused(
     )(
         scale,
         x4,
-        wq,
-        wk,
-        wv,
+        wq_t,
+        wk_t,
+        wv_t,
         bq,
         bv,
         wproj,
@@ -328,9 +364,20 @@ def swin_block(
     n, c = x.shape[1], x.shape[2]
     f = fc1_w.shape[1]
     fits = _vmem_estimate(1, n, c, f, num_heads, x.dtype.itemsize) < 48 * 2**20
-    if jax.default_backend() == "tpu" and fits and c % 128 == 0 and f % 128 == 0:
+    # c > 512 (stage 4 of Base) measures no faster fused — window counts are
+    # tiny there and XLA already pipelines well; keep it on the XLA path.
+    if (
+        jax.default_backend() == "tpu"
+        and fits
+        and c % 128 == 0
+        and f % 128 == 0
+        and c <= 512
+    ):
         return swin_block_fused(
-            *args, num_heads=num_heads, num_shift_windows=num_shift_windows
+            *args,
+            num_heads=num_heads,
+            num_shift_windows=num_shift_windows,
+            apply_mask=num_shift_windows > 1,
         )
     return swin_block_reference(*args, num_heads=num_heads,
                                 num_shift_windows=num_shift_windows)

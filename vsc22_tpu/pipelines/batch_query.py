@@ -80,8 +80,12 @@ class BatchedExtractor:
                 block = jnp.concatenate(
                     [block, jnp.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)]
                 )
-            outs.append(np.asarray(self._fwd(self.params, block), np.float32)[:valid])
-        return np.concatenate(outs, axis=0)
+            outs.append(self._fwd(self.params, block)[:valid])
+        # One device-side concat + one host fetch: chunk dispatches stay
+        # async and the host pays a single sync (30ms/fetch on the relay).
+        return np.asarray(
+            jnp.concatenate(outs, axis=0).astype(jnp.float32), np.float32
+        )
 
 
 @dataclasses.dataclass
@@ -119,8 +123,10 @@ class BatchedVED:
                 block = jnp.concatenate(
                     [block, jnp.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)]
                 )
-            feats.append(np.asarray(self._clip_fwd(self.clip_params, block), np.float32)[:valid])
-        feats = np.concatenate(feats, axis=0)
+            feats.append(self._clip_fwd(self.clip_params, block)[:valid])
+        feats = np.asarray(
+            jnp.concatenate(feats, axis=0).astype(jnp.float32), np.float32
+        )
         dim = feats.shape[1]
         padded = np.zeros((len(counts), self.max_frames, dim), np.float32)
         cursor = 0
@@ -161,47 +167,71 @@ class BatchedQueryPipeline:
         names: Sequence[str],
         videos_u8: Sequence[np.ndarray],  # per video [N_i, H_i, W_i, 3] uint8
         timestamps: Optional[Sequence[Sequence[float]]] = None,
+        device_videos: Optional[Sequence[jax.Array]] = None,
     ) -> List[VideoFeature]:
-        """Returns one fused 512-d VideoFeature per video."""
+        """Returns one fused 512-d VideoFeature per video.
+
+        `device_videos` may carry already device-resident u8 copies (e.g.
+        pre-staged by an async feeder); frames then never re-ship and never
+        round-trip back to the host unless FSD finds scene splits.
+        """
         if timestamps is None:
             timestamps = [list(range(len(v))) for v in videos_u8]
 
-        # Stage 0: ship raw u8 frames once.
-        dev_videos = [jnp.asarray(np.asarray(v, np.uint8)) for v in videos_u8]
+        # Stage 0: ship raw u8 frames once (unless pre-staged).
+        if device_videos is None:
+            device_videos = [jnp.asarray(np.asarray(v, np.uint8)) for v in videos_u8]
 
         # Stage 1: VED scores for every video in one batched pass.
         if self.ved is not None:
-            scores = self.ved.scores(dev_videos)
+            scores = self.ved.scores(device_videos)
         else:
-            scores = [1.0] * len(dev_videos)
+            scores = [1.0] * len(device_videos)
         for name, s in zip(names, scores):
             self.video_scores[name] = s
 
-        # Stage 2: host FSD per video (scene splits multiply frames).
-        proc: List[jax.Array] = []
+        # Stage 2: FSD per video — maps on device, cut decisions on host.
+        # Each video becomes a list of constant-shape sub-streams (scene
+        # crops differ in resolution; each preprocesses independently).
+        proc: List[Optional[List[jax.Array]]] = []
         frame_counts: List[int] = []
         full_ts: List[np.ndarray] = []
         edited_idx: List[int] = []
-        for i, (vid_u8, ts) in enumerate(zip(dev_videos, timestamps)):
+        for i, (vid_dev, ts) in enumerate(zip(device_videos, timestamps)):
             if scores[i] < self.score_threshold:
                 proc.append(None)
                 frame_counts.append(0)
                 full_ts.append(np.zeros((0,)))
                 continue
             edited_idx.append(i)
-            frames = np.asarray(vid_u8)
+            n_in = int(vid_dev.shape[0])
+            streams = [vid_dev]
+            n_out = n_in
             if self.use_fsd:
-                _, out_frames = fsd.image_process(
-                    list(frames), use_device_maps=self.use_device_fsd_maps
+                host_frames = np.asarray(videos_u8[i], np.uint8)
+                changed, out_frames = fsd.image_process(
+                    list(host_frames),
+                    use_device_maps=self.use_device_fsd_maps,
+                    device_frames=vid_dev if self.use_device_fsd_maps else None,
                 )
-                frames = np.stack([np.asarray(f) for f in out_frames])
-            split_ratio = max(len(frames) // len(vid_u8), 1)
-            proc.append(jnp.asarray(frames))
-            frame_counts.append(len(frames))
+                if changed:
+                    arrs = [np.asarray(f) for f in out_frames]
+                    streams = []
+                    start = 0
+                    while start < len(arrs):
+                        end = start + 1
+                        while end < len(arrs) and arrs[end].shape == arrs[start].shape:
+                            end += 1
+                        streams.append(jnp.asarray(np.stack(arrs[start:end])))
+                        start = end
+                    n_out = len(arrs)
+            split_ratio = max(n_out // n_in, 1)
+            proc.append(streams)
+            frame_counts.append(n_out)
             full_ts.append(np.array(list(ts) * split_ratio))
 
         # Stage 3: ensemble extraction, cross-video chunks per model.
-        edited = [proc[i] for i in edited_idx]
+        edited = [s for i in edited_idx for s in proc[i]]
         if edited:
             per_model = []
             for ext in self.extractors:

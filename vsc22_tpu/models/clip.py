@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vsc22_tpu.models.layers import MultiHeadAttention
+from vsc22_tpu.models.layers import DenseParams, MultiHeadAttention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,9 +54,19 @@ class CLIPBlock(nn.Module):
         y = MultiHeadAttention(self.heads, dtype=self.dtype, name="attn")(y)
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        y = nn.Dense(4 * c, dtype=self.dtype, name="c_fc")(y)
-        y = quick_gelu(y)
-        y = nn.Dense(c, dtype=self.dtype, name="c_proj")(y)
+        # MLP through the fused Pallas kernel (hidden stays in VMEM on TPU;
+        # identical math off-TPU). Param tree matches nn.Dense(c_fc/c_proj).
+        from vsc22_tpu.ops.pallas_mlp import fused_mlp
+
+        w1, b1 = DenseParams(c, 4 * c, name="c_fc")()
+        w2, b2 = DenseParams(4 * c, c, name="c_proj")()
+        b, l, _ = y.shape
+        y = fused_mlp(
+            y.reshape(b * l, c).astype(self.dtype),
+            w1.astype(self.dtype), b1.astype(self.dtype),
+            w2.astype(self.dtype), b2.astype(self.dtype),
+            "quick_gelu",
+        ).reshape(b, l, c)
         return x + y
 
 

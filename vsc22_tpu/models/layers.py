@@ -114,14 +114,36 @@ class MultiHeadAttention(nn.Module):
         qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i] for i in range(3))  # [B, L, H, hd]
 
-        attn = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
-        attn = attn * (head_dim**-0.5)
-        if attn_bias is not None:
-            attn = attn + attn_bias
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        use_fused = (
+            attn_bias is None
+            and (self.attn_drop == 0.0 or deterministic)
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            # Fused on-chip softmax(QK^T)V — the [B, H, L, L] tensors never
+            # touch HBM (ops/pallas_attn; XLA-recompute VJP inside).
+            from vsc22_tpu.ops.pallas_attn import attention
 
-        out = jnp.einsum("bhlm,bmhd->blhd", attn, v, preferred_element_type=jnp.float32)
+            def heads_first(t):
+                return jnp.transpose(t, (0, 2, 1, 3)).reshape(
+                    b * self.num_heads, l, head_dim
+                )
+
+            out = attention(
+                heads_first(q * (head_dim**-0.5)), heads_first(k), heads_first(v)
+            )
+            out = jnp.transpose(
+                out.reshape(b, self.num_heads, l, head_dim), (0, 2, 1, 3)
+            )
+        else:
+            attn = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
+            attn = attn * (head_dim**-0.5)
+            if attn_bias is not None:
+                attn = attn + attn_bias
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhlm,bmhd->blhd", attn, v, preferred_element_type=jnp.float32)
+
         out = out.reshape(b, l, c).astype(self.dtype)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -167,6 +189,39 @@ class TransformerBlock(nn.Module):
         )
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
         return x
+
+
+class DenseParams(nn.Module):
+    """Declares an nn.Dense's exact {kernel, bias} param tree without
+    applying it — for modules that route compute through fused kernels."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
+
+
+class LayerNormParams(nn.Module):
+    """Declares an nn.LayerNorm's {scale, bias} without applying it."""
+
+    dim: int
+    zero_scale: bool = False
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale",
+            nn.initializers.zeros if self.zero_scale else nn.initializers.ones,
+            (self.dim,),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
 
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:

@@ -36,7 +36,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vsc22_tpu.models.layers import DropPath, Mlp, gem_pool
+from vsc22_tpu.models.layers import (
+    DenseParams as _DenseParams,
+    DropPath,
+    LayerNormParams as _LayerNormParams,
+    Mlp,
+    gem_pool,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,21 +217,6 @@ class WindowAttention(nn.Module):
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
-class _DenseParams(nn.Module):
-    """Declares a Dense's {kernel, bias} without applying it."""
-
-    in_dim: int
-    out_dim: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
-        return kernel, bias
-
-
 class _WindowAttnParams(nn.Module):
     """Parameter bag declaring WindowAttention's exact param tree (same
     names, shapes, initializers) and returning the raw tensors + the
@@ -265,23 +256,6 @@ class _WindowAttnParams(nn.Module):
 
         proj_kernel, proj_bias = _DenseParams(c, c, name="proj")()
         return qkv_kernel, qkv_bias, rpb, scale, proj_kernel, proj_bias
-
-
-class _LayerNormParams(nn.Module):
-    """Declares a LayerNorm's {scale, bias} without applying it."""
-
-    dim: int
-    zero_scale: bool = False
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param(
-            "scale",
-            nn.initializers.zeros if self.zero_scale else nn.initializers.ones,
-            (self.dim,),
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-        return scale, bias
 
 
 class _MlpParams(nn.Module):

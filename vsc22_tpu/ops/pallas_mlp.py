@@ -40,21 +40,34 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
-    x = x_ref[:]
-    h = jax.lax.dot_general(
-        x, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    h = h + b1_ref[:].astype(jnp.float32)
-    h = _gelu_exact(h).astype(x.dtype)
-    out = jax.lax.dot_general(
-        h, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    out = out + b2_ref[:].astype(jnp.float32)
-    out_ref[:] = out.astype(out_ref.dtype)
+def _quick_gelu(x):
+    """CLIP's QuickGELU: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _forward(x, w1, b1, w2, b2, *, row_tile: int, interpret: bool):
+_ACTIVATIONS = {"gelu": _gelu_exact, "quick_gelu": _quick_gelu}
+
+
+def _make_kernel(activation: str):
+    act = _ACTIVATIONS[activation]
+
+    def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+        x = x_ref[:]
+        h = jax.lax.dot_general(
+            x, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        h = h + b1_ref[:].astype(jnp.float32)
+        h = act(h).astype(x.dtype)
+        out = jax.lax.dot_general(
+            h, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out = out + b2_ref[:].astype(jnp.float32)
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return _kernel
+
+
+def _forward(x, w1, b1, w2, b2, *, row_tile: int, activation: str, interpret: bool):
     rows, c = x.shape
     hidden = w1.shape[1]
     padded = -(-rows // row_tile) * row_tile
@@ -62,7 +75,7 @@ def _forward(x, w1, b1, w2, b2, *, row_tile: int, interpret: bool):
         x = jnp.concatenate([x, jnp.zeros((padded - rows, c), x.dtype)], axis=0)
     grid = (padded // row_tile,)
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(activation),
         grid=grid,
         in_specs=[
             pl.BlockSpec((row_tile, c), lambda i: (i, 0)),
@@ -93,17 +106,21 @@ def _pick_row_tile(rows: int, c: int, hidden: int, itemsize: int) -> int:
     return 0
 
 
-def _xla_mlp(x, w1, b1, w2, b2):
+def _xla_mlp(x, w1, b1, w2, b2, activation="gelu"):
     h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1
-    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    if activation == "gelu":
+        h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    else:
+        h = _quick_gelu(h).astype(x.dtype)
     out = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2
     return out.astype(x.dtype)
 
 
-@jax.custom_vjp
-def fused_mlp(x, w1, b1, w2, b2):
-    """gelu(x@W1+b1)@W2+b2 over [rows, C] with on-chip hidden activations.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_mlp(x, w1, b1, w2, b2, activation="gelu"):
+    """act(x@W1+b1)@W2+b2 over [rows, C] with on-chip hidden activations.
 
+    `activation`: "gelu" (exact, ViT/SwinV2) or "quick_gelu" (CLIP).
     Falls back to XLA when shapes don't tile (unaligned dims or tiny rows)
     or off-TPU. Backward = XLA recompute (memory parity with the baseline).
     """
@@ -112,18 +129,18 @@ def fused_mlp(x, w1, b1, w2, b2):
     hidden = w1.shape[1]
     tile = _pick_row_tile(rows, c, hidden, x.dtype.itemsize)
     if tile == 0 or c % 128 or hidden % 128:
-        return _xla_mlp(x, w1, b1, w2, b2)
-    return _forward(x, w1, b1, w2, b2, row_tile=tile, interpret=interpret)
+        return _xla_mlp(x, w1, b1, w2, b2, activation)
+    return _forward(x, w1, b1, w2, b2, row_tile=tile, activation=activation,
+                    interpret=interpret)
 
 
-def _fwd(x, w1, b1, w2, b2):
-    return fused_mlp(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+def _fwd(x, w1, b1, w2, b2, activation):
+    return fused_mlp(x, w1, b1, w2, b2, activation), (x, w1, b1, w2, b2)
 
 
-def _bwd(residuals, g):
-    x, w1, b1, w2, b2 = residuals
+def _bwd(activation, residuals, g):
     # Recompute in XLA; grads via jax.vjp of the plain formulation.
-    _, vjp = jax.vjp(_xla_mlp, x, w1, b1, w2, b2)
+    _, vjp = jax.vjp(lambda *a: _xla_mlp(*a, activation), *residuals)
     return vjp(g)
 
 

@@ -231,12 +231,17 @@ class BatchedQueryPipeline:
             full_ts.append(np.array(list(ts) * split_ratio))
 
         # Stage 3: ensemble extraction, cross-video chunks per model.
+        # Extractors sharing a (size, preset) — the three SwinV2 members —
+        # also share one device preprocessing pass.
         edited = [s for i in edited_idx for s in proc[i]]
         if edited:
+            pre_cache: Dict[Tuple, List[jax.Array]] = {}
             per_model = []
             for ext in self.extractors:
-                pre = [ext.preprocess(v) for v in edited]
-                per_model.append(_l2(ext.extract_concat(pre)))
+                key = (ext.size, ext.preset, str(ext.model.dtype))
+                if key not in pre_cache:
+                    pre_cache[key] = [ext.preprocess(v) for v in edited]
+                per_model.append(_l2(ext.extract_concat(pre_cache[key])))
             concat = np.concatenate(per_model, axis=1)  # [sum frames, 2048]
         else:
             concat = np.zeros((0, 512 * len(self.extractors)), np.float32)

@@ -29,8 +29,19 @@ def ensure_built() -> Optional[Path]:
         return None
     lib_path = _SRC_DIR / _LIB_NAME
     sources = [_SRC_DIR / s for s in _SOURCES]
-    if lib_path.exists() and all(
-        lib_path.stat().st_mtime >= s.stat().st_mtime for s in sources
+    # Content-hash stamp, not mtimes: git checkouts reset mtimes in arbitrary
+    # order, which once served a stale .so missing newly added symbols.
+    import hashlib
+
+    digest = hashlib.sha256()
+    for s in sources:
+        digest.update(s.read_bytes())
+    stamp = digest.hexdigest()
+    stamp_path = _SRC_DIR / ".build_hash"
+    if (
+        lib_path.exists()
+        and stamp_path.exists()
+        and stamp_path.read_text().strip() == stamp
     ):
         return lib_path
     gxx = shutil.which("g++")
@@ -53,6 +64,7 @@ def ensure_built() -> Optional[Path]:
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
         _build_failed = True
         return None
+    stamp_path.write_text(stamp + "\n")
     return lib_path
 
 

@@ -32,9 +32,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: first-run compiles of the six full-size
+# programs take ~10 min through this environment's HTTP relay; cached
+# reruns start in seconds. Harmless (and still useful) on real hosts.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 

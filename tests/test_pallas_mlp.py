@@ -21,7 +21,9 @@ def make_inputs(rows=300, c=128, hidden=512, seed=0):
 def test_kernel_matches_xla_interpret():
     args = make_inputs()
     ref = np.asarray(_xla_mlp(*args))
-    out = np.asarray(_forward(*args, row_tile=128, interpret=True))  # pads 300->384
+    out = np.asarray(
+        _forward(*args, row_tile=128, activation="gelu", interpret=True)
+    )  # pads 300->384
     assert out.shape == ref.shape
     assert_allclose(out, ref, atol=1e-4)
 

@@ -61,5 +61,34 @@ def _register_builtins():
     BACKBONES.register(swinv2.swinv2_base_256_descriptor, name="swinv2_base_256")
     BACKBONES.register(swinv2.swinv2_tiny_test_descriptor, name="swinv2_tiny_test")
 
+    # Full factory surface (reference model_factory/backbones/*): production
+    # members above, legacy/auxiliary zoo below (SURVEY §2.3).
+    from vsc22_tpu.models import (
+        clip,
+        deconv,
+        efficientnet,
+        hrnet,
+        mae,
+        mobilenetv3,
+        swin_v1,
+        text_encoder,
+        vsm,
+    )
+
+    BACKBONES.register(clip.clip_vit_l14, name="clip_vit_l14")
+    BACKBONES.register(clip.clip_tiny_test, name="clip_tiny_test")
+    BACKBONES.register(vsm.vsm_base, name="video_score_ms")
+    BACKBONES.register(mobilenetv3.mobilenetv3_small, name="mobilenetv3_small")
+    BACKBONES.register(hrnet.sam_hrnet_w18, name="sam_hrnet_w18")
+    BACKBONES.register(efficientnet.efficientnet_v2_s, name="efficientnet_v2_s")
+    BACKBONES.register(efficientnet.efficientnet_tiny_test, name="efficientnet_tiny_test")
+    BACKBONES.register(swin_v1.swin_v1_tiny_224, name="swin_v1_tiny_224")
+    BACKBONES.register(swin_v1.swin_v1_tiny_test, name="swin_v1_tiny_test")
+    BACKBONES.register(mae.mae_base_patch16_224, name="mae_base_patch16_224")
+    BACKBONES.register(mae.mae_tiny_test, name="mae_tiny_test")
+    BACKBONES.register(text_encoder.roberta_base, name="roberta_base")
+    BACKBONES.register(text_encoder.text_tiny_test, name="roberta_tiny_test")
+    BACKBONES.register(lambda **kw: deconv.DeConvModel(**kw), name="deconv_model")
+
 
 _register_builtins()

@@ -39,12 +39,14 @@ import jax
 
 # Persistent compilation cache: first-run compiles of the six full-size
 # programs take ~10 min through this environment's HTTP relay; cached
-# reruns start in seconds. Harmless (and still useful) on real hosts.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# reruns start in seconds. TPU-only — CPU AOT artifacts are host-machine
+# specific and reloading them across machines risks SIGILL.
+if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
 import numpy as np
@@ -67,7 +69,7 @@ def synth_videos(n_videos: int, frames: int, h: int, w: int, seed: int = 0):
     return vids
 
 
-def build_pipeline(smoke: bool):
+def build_pipeline(smoke: bool, timer=None):
     from vsc22_tpu.models.clip import clip_tiny_test, clip_vit_l14
     from vsc22_tpu.models.swinv2 import (
         SWINV2_TINY_TEST,
@@ -133,6 +135,7 @@ def build_pipeline(smoke: bool):
         extractors, pca=pca, ved=ved, use_fsd=True, use_device_fsd_maps=True,
         score_threshold=0.0,  # run the full extraction path for every video
         out_dim=sizes["out"],
+        timer=timer,
     )
     return pipe, sizes
 
@@ -142,11 +145,17 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny models (CPU check)")
     ap.add_argument("--videos", type=int, default=24)
     ap.add_argument("--batch", type=int, default=8, help="videos per pipeline batch")
+    ap.add_argument("--profile", action="store_true", help="per-stage timings to stderr")
     args = ap.parse_args()
 
     from vsc22_tpu.retrieval.score_norm import query_score_normalize
 
-    pipe, sizes = build_pipeline(args.smoke)
+    timer = None
+    if args.profile:
+        from vsc22_tpu.utils.observability import StageTimer
+
+        timer = StageTimer()
+    pipe, sizes = build_pipeline(args.smoke, timer=timer)
     res = (128, 128) if args.smoke else (360, 640)
     videos = synth_videos(args.videos, FRAMES_PER_VIDEO, *res)
     names = [f"Q{i:06d}" for i in range(len(videos))]
@@ -164,8 +173,16 @@ def main():
         for i in range(100)
     ]
 
-    # Warmup: compile every stage on a small prefix.
-    pipe.process_batch(names[:2], videos[:2], device_videos=dev_videos[:2])
+    # Warmup: compile every stage at the REAL batch size (a smaller prefix
+    # would leave per-batch-shaped programs — the VED transformer over
+    # [V, max_frames, D] — to compile inside the timed region).
+    pipe.process_batch(
+        names[: args.batch], videos[: args.batch],
+        device_videos=dev_videos[: args.batch],
+    )
+    if timer is not None:
+        timer.totals.clear()
+        timer.counts.clear()
 
     t0 = time.perf_counter()
     feats = []
@@ -183,6 +200,11 @@ def main():
     )
     elapsed = time.perf_counter() - t0
     videos_per_sec = len(videos) / elapsed
+    if timer is not None:
+        import sys
+
+        print(f"--- stage profile ({elapsed:.1f}s total) ---", file=sys.stderr)
+        print(timer.report(), file=sys.stderr)
 
     # Secondary: flagship forward-only (round-1 metric, for continuity).
     from vsc22_tpu.utils.benchmark import time_scanned

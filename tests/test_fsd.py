@@ -134,3 +134,36 @@ class TestDeviceMaps:
         processed, out = fsd.image_process(frames, use_device_maps=True)
         assert processed
         assert len(out) == 2 * len(frames)
+
+
+def test_batch_maps_match_per_video():
+    """variance_and_edges_device_batch == per-video device maps."""
+    import jax.numpy as jnp
+
+    from vsc22_tpu.data import fsd
+
+    rng = np.random.default_rng(3)
+    videos = rng.integers(0, 255, (3, 8, 48, 64, 3)).astype(np.uint8)
+    bvar, bedges = fsd.variance_and_edges_device_batch(jnp.asarray(videos))
+    assert bvar.shape == (3, 48, 64) and bedges.shape == (3, 48, 64)
+    for i in range(3):
+        var_i, edges_i = fsd.variance_and_edges_device(jnp.asarray(videos[i]))
+        np.testing.assert_allclose(bvar[i], var_i, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(bedges[i], edges_i, rtol=1e-5, atol=1e-6)
+
+
+def test_image_process_precomputed_maps_equivalent():
+    from vsc22_tpu.data import fsd
+
+    rng = np.random.default_rng(4)
+    # letterboxed video: black bars top/bottom force a border cut
+    frames = np.zeros((8, 64, 64, 3), np.uint8)
+    frames[:, 16:48] = rng.integers(0, 255, (8, 32, 64, 3)).astype(np.uint8)
+    imgs = list(frames)
+    var, edges = fsd.variance_and_edges_host(imgs)
+    c1, out1 = fsd.image_process(imgs, precomputed_maps=(var, edges))
+    c2, out2 = fsd.image_process(imgs)
+    assert c1 == c2
+    assert len(out1) == len(out2)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -24,7 +24,7 @@ cv2.Canny path is kept for bit-parity testing when OpenCV is present.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +134,30 @@ def variance_and_edges_device(frames) -> Tuple[Array, Array]:
     idx = jnp.asarray(sample_edge_frames(int(stack.shape[0])))
     edges = np.asarray(_edges_kernel(stack[idx]))
     return var, edges
+
+
+def variance_and_edges_device_batch(stack5d) -> Tuple[Array, Array]:
+    """Maps for a BATCH of same-shape videos in one device program + fetch.
+
+    `stack5d`: [V, N, H, W, 3] uint8 (device or host). Returns host arrays
+    var [V, H, W] and edges [V, H, W] — identical per-video results to
+    `variance_and_edges_device`, but the serving path pays ONE relay
+    round-trip per batch instead of two per video.
+    """
+    stack5d = jnp.asarray(stack5d)
+    v, n = int(stack5d.shape[0]), int(stack5d.shape[1])
+    idx = jnp.asarray(sample_edge_frames(n))
+    # One fused fetch: concatenated output so the relay pays a single
+    # round trip for the whole batch.
+    flat = np.asarray(_batch_maps(stack5d, idx))
+    return flat[:v], flat[v:]
+
+
+@jax.jit
+def _batch_maps(stack, idx):
+    var = jnp.var(stack.astype(jnp.float32), axis=1).sum(-1)
+    edges = jax.vmap(_edges_kernel)(jnp.take(stack, idx, axis=1))
+    return jnp.concatenate([var, edges], axis=0)
 
 
 def variance_and_edges_host(frames: Sequence[Array]) -> Tuple[Array, Array]:
@@ -354,7 +378,10 @@ def clean_imgs(imgs: List[Array], img_var: Array, avg_canny: Array) -> List[List
 
 
 def image_process(
-    img_list: Sequence, use_device_maps: bool = False, device_frames=None
+    img_list: Sequence,
+    use_device_maps: bool = False,
+    device_frames=None,
+    precomputed_maps: Optional[Tuple[Array, Array]] = None,
 ) -> Tuple[bool, List]:
     """Full FSD entry point over PIL images or arrays.
 
@@ -371,7 +398,9 @@ def image_process(
 
     try:
         imgs = [np.array(x) for x in img_list]
-        if device_frames is not None:
+        if precomputed_maps is not None:
+            img_var, avg_canny = precomputed_maps
+        elif device_frames is not None:
             img_var, avg_canny = variance_and_edges_device(device_frames)
         elif use_device_maps:
             img_var, avg_canny = variance_and_edges_device(imgs)

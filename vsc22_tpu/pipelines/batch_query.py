@@ -56,11 +56,20 @@ class BatchedExtractor:
     size: int
     preset: str = "vit"
     chunk: int = LEN_THRESHOLD
+    timer: object = None
 
     def __post_init__(self):
         self._fwd = jax.jit(
             lambda params, images: self.model.apply(params, images, train=False)
         )
+        if self.timer is None:
+            import contextlib
+
+            class _Null:
+                def stage(self, name):
+                    return contextlib.nullcontext()
+
+            self.timer = _Null()
 
     def preprocess(self, frames_u8: jax.Array) -> jax.Array:
         """[N, H, W, 3] u8 (device) -> [N, S, S, 3] model dtype (device)."""
@@ -71,21 +80,22 @@ class BatchedExtractor:
     def extract_concat(self, batches: Sequence[jax.Array]) -> np.ndarray:
         """Forward pre-processed per-video tensors as cross-video chunks."""
         total = sum(int(b.shape[0]) for b in batches)
-        flat = jnp.concatenate(batches, axis=0) if len(batches) > 1 else batches[0]
-        outs = []
-        for start in range(0, total, self.chunk):
-            block = flat[start : start + self.chunk]
-            valid = block.shape[0]
-            if valid < self.chunk:
-                block = jnp.concatenate(
-                    [block, jnp.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)]
-                )
-            outs.append(self._fwd(self.params, block)[:valid])
+        with self.timer.stage(f"x{self.size}_dispatch"):
+            flat = jnp.concatenate(batches, axis=0) if len(batches) > 1 else batches[0]
+            outs = []
+            for start in range(0, total, self.chunk):
+                block = flat[start : start + self.chunk]
+                valid = block.shape[0]
+                if valid < self.chunk:
+                    block = jnp.concatenate(
+                        [block, jnp.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)]
+                    )
+                outs.append(self._fwd(self.params, block)[:valid])
+            dev_out = jnp.concatenate(outs, axis=0).astype(jnp.float32)
         # One device-side concat + one host fetch: chunk dispatches stay
         # async and the host pays a single sync (30ms/fetch on the relay).
-        return np.asarray(
-            jnp.concatenate(outs, axis=0).astype(jnp.float32), np.float32
-        )
+        with self.timer.stage(f"x{self.size}_fetch"):
+            return np.asarray(dev_out, np.float32)
 
 
 @dataclasses.dataclass
@@ -150,6 +160,7 @@ class BatchedQueryPipeline:
         score_threshold: float = SCORE_THRESHOLD,
         frame_threshold: float = FRAME_THRESHOLD,
         out_dim: int = 512,
+        timer=None,  # optional utils.observability.StageTimer
     ):
         self.extractors = list(extractors)
         self.pca = pca
@@ -161,6 +172,17 @@ class BatchedQueryPipeline:
         self.out_dim = out_dim
         self.rnd_idx = 0
         self.video_scores: Dict[str, float] = {}
+        if timer is None:
+            import contextlib
+
+            class _Null:
+                def stage(self, name):
+                    return contextlib.nullcontext()
+
+            timer = _Null()
+        self.timer = timer
+        for ext in self.extractors:
+            ext.timer = timer
 
     def process_batch(
         self,
@@ -183,10 +205,11 @@ class BatchedQueryPipeline:
             device_videos = [jnp.asarray(np.asarray(v, np.uint8)) for v in videos_u8]
 
         # Stage 1: VED scores for every video in one batched pass.
-        if self.ved is not None:
-            scores = self.ved.scores(device_videos)
-        else:
-            scores = [1.0] * len(device_videos)
+        with self.timer.stage("ved"):
+            if self.ved is not None:
+                scores = self.ved.scores(device_videos)
+            else:
+                scores = [1.0] * len(device_videos)
         for name, s in zip(names, scores):
             self.video_scores[name] = s
 
@@ -197,6 +220,23 @@ class BatchedQueryPipeline:
         frame_counts: List[int] = []
         full_ts: List[np.ndarray] = []
         edited_idx: List[int] = []
+        fsd_cm = self.timer.stage("fsd")
+        fsd_cm.__enter__()
+        # Batched FSD maps: videos sharing [N, H, W] run as ONE device
+        # program with ONE host fetch (per-video fetches pay the relay's
+        # ~30 ms floor each and serialize the whole stage).
+        batch_maps: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        if self.use_fsd and self.use_device_fsd_maps:
+            by_shape: Dict[Tuple, List[int]] = {}
+            for i, vid_dev in enumerate(device_videos):
+                if scores[i] >= self.score_threshold:
+                    by_shape.setdefault(tuple(vid_dev.shape), []).append(i)
+            with self.timer.stage("fsd_maps_device"):
+                for shape, idxs in by_shape.items():
+                    stack = jnp.stack([device_videos[i] for i in idxs])
+                    var, edges = fsd.variance_and_edges_device_batch(stack)
+                    for j, i in enumerate(idxs):
+                        batch_maps[i] = (var[j], edges[j])
         for i, (vid_dev, ts) in enumerate(zip(device_videos, timestamps)):
             if scores[i] < self.score_threshold:
                 proc.append(None)
@@ -212,7 +252,12 @@ class BatchedQueryPipeline:
                 changed, out_frames = fsd.image_process(
                     list(host_frames),
                     use_device_maps=self.use_device_fsd_maps,
-                    device_frames=vid_dev if self.use_device_fsd_maps else None,
+                    device_frames=(
+                        vid_dev
+                        if self.use_device_fsd_maps and i not in batch_maps
+                        else None
+                    ),
+                    precomputed_maps=batch_maps.get(i),
                 )
                 if changed:
                     arrs = [np.asarray(f) for f in out_frames]
@@ -229,6 +274,7 @@ class BatchedQueryPipeline:
             proc.append(streams)
             frame_counts.append(n_out)
             full_ts.append(np.array(list(ts) * split_ratio))
+        fsd_cm.__exit__(None, None, None)
 
         # Stage 3: ensemble extraction, cross-video chunks per model.
         # Extractors sharing a (size, preset) — the three SwinV2 members —
@@ -239,14 +285,18 @@ class BatchedQueryPipeline:
             per_model = []
             for ext in self.extractors:
                 key = (ext.size, ext.preset, str(ext.model.dtype))
-                if key not in pre_cache:
-                    pre_cache[key] = [ext.preprocess(v) for v in edited]
-                per_model.append(_l2(ext.extract_concat(pre_cache[key])))
+                with self.timer.stage(f"preprocess_{key[0]}"):
+                    if key not in pre_cache:
+                        pre_cache[key] = [ext.preprocess(v) for v in edited]
+                with self.timer.stage(f"extract_{ext.size}_{ext.preset}"):
+                    per_model.append(_l2(ext.extract_concat(pre_cache[key])))
             concat = np.concatenate(per_model, axis=1)  # [sum frames, 2048]
         else:
             concat = np.zeros((0, 512 * len(self.extractors)), np.float32)
 
         # Stage 4/5: per-video dedup + PCA; placeholders for unedited.
+        dedup_cm = self.timer.stage("dedup_pca")
+        dedup_cm.__enter__()
         out: List[VideoFeature] = []
         cursor = 0
         for i, name in enumerate(names):
@@ -274,4 +324,5 @@ class BatchedQueryPipeline:
                     video_id=name, timestamps=full_ts[i][keep], feature=kept
                 )
             )
+        dedup_cm.__exit__(None, None, None)
         return out

@@ -90,7 +90,8 @@ class TestImageProcess:
         assert processed
         # Two scenes -> 2x the frames.
         assert len(out) == 2 * len(frames)
-        assert all(isinstance(x, Image.Image) for x in out)
+        # crops come back as arrays (no PIL round trip on the serving path)
+        assert all(np.asarray(x).ndim == 3 for x in out)
 
     def test_passthrough_on_plain_video(self):
         frames = [Image.fromarray(f) for f in make_video(200, 320, seed=7)]
@@ -167,3 +168,61 @@ def test_image_process_precomputed_maps_equivalent():
     assert len(out1) == len(out2)
     for a, b in zip(out1, out2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCropResizeWeights:
+    def test_weights_match_jax_resize(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vsc22_tpu.data.transforms import cubic_resize_weights
+
+        rng = np.random.default_rng(0)
+        for n_in, n_out in [(360, 384), (640, 384), (90, 256), (37, 64)]:
+            x = rng.standard_normal((5, n_in)).astype(np.float32)
+            ref = np.asarray(
+                jax.image.resize(jnp.asarray(x), (5, n_out), method="cubic")
+            )
+            got = x @ cubic_resize_weights(n_in, n_out)
+            np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_crop_weights_match_sliced_resize(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vsc22_tpu.data.transforms import cubic_resize_weights
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 300)).astype(np.float32)
+        ref = np.asarray(
+            jax.image.resize(jnp.asarray(x[:, 40:220]), (4, 128), method="cubic")
+        )
+        got = x @ cubic_resize_weights(300, 128, 40, 220)
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_crop_resize_normalize_matches_resize_of_crop(self):
+        import jax.numpy as jnp
+
+        from vsc22_tpu.data.transforms import (
+            crop_resize_normalize,
+            cubic_resize_weights,
+            resize_normalize,
+        )
+
+        rng = np.random.default_rng(2)
+        frames = rng.integers(0, 255, (3, 120, 200, 3)).astype(np.uint8)
+        box = (10, 110, 20, 180)
+        ref = np.asarray(
+            resize_normalize(
+                jnp.asarray(frames[:, box[0]:box[1], box[2]:box[3]]), 64, "vit"
+            )
+        )
+        got = np.asarray(
+            crop_resize_normalize(
+                jnp.asarray(frames),
+                jnp.asarray(cubic_resize_weights(120, 64, box[0], box[1])),
+                jnp.asarray(cubic_resize_weights(200, 64, box[2], box[3])),
+                preset="vit",
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-3)

@@ -173,10 +173,23 @@ def variance_and_edges_host(frames: Sequence[Array]) -> Tuple[Array, Array]:
 # ---------------------------------------------------------------------------
 
 
+Box = Tuple[int, int, int, int]  # (start_h, end_h, start_w, end_w)
+
+
 def remove_edges(
     imgs: List[Array], img_var: Array, avg_canny: Array
 ) -> Tuple[List[Array], Array, Array]:
-    """Strip static letterbox/pillarbox borders.
+    """Strip static letterbox/pillarbox borders (array-returning wrapper)."""
+    sh, eh, sw, ew = remove_edges_box(img_var, avg_canny)
+    return (
+        [x[sh:eh, sw:ew, :] for x in imgs],
+        img_var[sh:eh, sw:ew],
+        avg_canny[sh:eh, sw:ew],
+    )
+
+
+def remove_edges_box(img_var: Array, avg_canny: Array) -> Box:
+    """Decision core of remove_edges: the crop box, from the maps alone.
 
     A candidate border line is a row/column whose edge density clearly
     exceeds the mean; it becomes a crop boundary when the region outside it
@@ -234,11 +247,7 @@ def remove_edges(
         if is_static(sum_h[idx + extra : end_w], canny_h[idx + extra : end_w], canny_h[idx]):
             end_w = idx
 
-    return (
-        [x[start_h:end_h, start_w:end_w, :] for x in imgs],
-        img_var[start_h:end_h, start_w:end_w],
-        avg_canny[start_h:end_h, start_w:end_w],
-    )
+    return start_h, end_h, start_w, end_w
 
 
 def split_imgs(
@@ -248,19 +257,34 @@ def split_imgs(
     gap: int = 5,
     min_size: int = 120,
 ) -> List[Tuple[List[Array], Array, Array]]:
+    """Array-returning wrapper over `split_boxes` (kept for host parity)."""
+    return [
+        (
+            [img[sh:eh, sw:ew, :] for img in imgs],
+            img_var[sh:eh, sw:ew],
+            avg_canny[sh:eh, sw:ew],
+        )
+        for sh, eh, sw, ew in split_boxes(img_var, avg_canny, gap, min_size)
+    ]
+
+
+def split_boxes(
+    img_var: Array, avg_canny: Array, gap: int = 5, min_size: int = 120
+) -> List[Box]:
     """Cut stacked-frame composites at low-variance gaps or edge lines.
 
+    Decision core over the maps alone; boxes are in this map's coordinates.
     Pass 1: scan rows for variance gaps (a run opens after activity or 50
     rows; closes at a low-variance gap). Pass 2: same for columns — the
     `start` cursor intentionally carries over from pass 1 (reference quirk).
     Pass 3: strong full-line edges split along the larger axis first.
-    Returns [(imgs, var, canny)] sub-streams, or the input as a singleton.
+    Returns sub-stream boxes, or the full box as a singleton.
     """
     sum_h = img_var.mean(0)
     sum_w = img_var.mean(1)
     h, w = img_var.shape
     half_gap = gap // 2
-    res: List[Tuple[List[Array], Array, Array]] = []
+    res: List[Box] = []
 
     is_middle = False
     start = 0
@@ -269,24 +293,12 @@ def split_imgs(
             is_middle = True
         elif is_middle and sum_w[i : i + gap].mean() < 0.1:
             if i + half_gap - start > min_size:
-                res.append(
-                    (
-                        [img[start : i + half_gap, :, :] for img in imgs],
-                        img_var[start : i + half_gap, :],
-                        avg_canny[start : i + half_gap, :],
-                    )
-                )
+                res.append((start, i + half_gap, 0, w))
             is_middle = False
             start = i + half_gap
     if res or start != 0:
         if h - start > min_size:
-            res.append(
-                (
-                    [img[start:, :] for img in imgs],
-                    img_var[start:, :],
-                    avg_canny[start:, :],
-                )
-            )
+            res.append((start, h, 0, w))
         if res:
             return res
 
@@ -296,24 +308,12 @@ def split_imgs(
             is_middle = True
         elif is_middle and sum_h[i : i + gap].mean() < 0.1:
             if i + half_gap - start > min_size:
-                res.append(
-                    (
-                        [img[:, start : i + half_gap, :] for img in imgs],
-                        img_var[:, start : i + half_gap],
-                        avg_canny[:, start : i + half_gap],
-                    )
-                )
+                res.append((0, h, start, i + half_gap))
             is_middle = False
             start = i + half_gap
     if res or start != 0:
         if w - start > min_size:
-            res.append(
-                (
-                    [img[:, start:, :] for img in imgs],
-                    img_var[:, start:],
-                    avg_canny[:, start:],
-                )
-            )
+            res.append((0, h, start, w))
         if res:
             return res
 
@@ -327,54 +327,75 @@ def split_imgs(
     def cut_rows(end=h):
         for idx in rows:
             if end - idx > min_size:
-                res.append(
-                    (
-                        [x[idx:end, :, :] for x in imgs],
-                        img_var[idx:end, :],
-                        avg_canny[idx:end, :],
-                    )
-                )
+                res.append((idx, end, 0, w))
                 end = idx
         if res and end > min_size:
-            res.append(([x[:end, :, :] for x in imgs], img_var[:end, :], avg_canny[:end, :]))
+            res.append((0, end, 0, w))
 
     def cut_cols(end=w):
         for idx in cols:
             if end - idx > min_size:
-                res.append(
-                    (
-                        [x[:, idx:end, :] for x in imgs],
-                        img_var[:, idx:end],
-                        avg_canny[:, idx:end],
-                    )
-                )
+                res.append((0, h, idx, end))
                 end = idx
         if res and end > min_size:
-            res.append(([x[:, :end, :] for x in imgs], img_var[:, :end], avg_canny[:, :end]))
+            res.append((0, h, 0, end))
 
     order = (cut_cols, cut_rows) if w > h else (cut_rows, cut_cols)
     for cut in order:
         cut()
         if res:
             return res
-    return [(imgs, img_var, avg_canny)]
+    return [(0, h, 0, w)]
+
+
+def clean_boxes(
+    img_var: Array, avg_canny: Array, num_frames: int, origin: Box
+) -> List[Box]:
+    """remove_edges + split recursion producing ABSOLUTE frame boxes.
+
+    `img_var`/`avg_canny` cover `origin` (a box in original-frame
+    coordinates); the returned boxes compose every crop level back into the
+    original frame. Frames are never touched: FSD only ever cuts rectangles,
+    so a (video, box) pair fully describes each output stream — this is what
+    lets the serving path run crop+resize as one shape-static device program
+    against the original frames.
+    """
+    o_sh, _, o_sw, _ = origin
+    if num_frames < 5:
+        return [origin]
+    sh, eh, sw, ew = remove_edges_box(img_var, avg_canny)
+    if min(eh - sh, ew - sw) < 20:
+        return [origin]
+    cut_var = img_var[sh:eh, sw:ew]
+    cut_canny = avg_canny[sh:eh, sw:ew]
+    sub_boxes = split_boxes(cut_var, cut_canny, min_size=80)
+    full = (0, eh - sh, 0, ew - sw)
+    if len(sub_boxes) == 1 and sub_boxes[0] == full:
+        return [(o_sh + sh, o_sh + eh, o_sw + sw, o_sw + ew)]
+    res: List[Box] = []
+    for b_sh, b_eh, b_sw, b_ew in sub_boxes:
+        child_origin = (
+            o_sh + sh + b_sh,
+            o_sh + sh + b_eh,
+            o_sw + sw + b_sw,
+            o_sw + sw + b_ew,
+        )
+        res.extend(
+            clean_boxes(
+                cut_var[b_sh:b_eh, b_sw:b_ew],
+                cut_canny[b_sh:b_eh, b_sw:b_ew],
+                num_frames,
+                child_origin,
+            )
+        )
+    return res
 
 
 def clean_imgs(imgs: List[Array], img_var: Array, avg_canny: Array) -> List[List[Array]]:
-    """remove_edges + split_imgs, recursing on each split until stable."""
-    if len(imgs) < 5:
-        return [imgs]
-    cut_imgs, cut_var, cut_canny = remove_edges(imgs, img_var, avg_canny)
-    if min(cut_imgs[0].shape[:2]) < 20:
-        return [imgs]
-    split = split_imgs(cut_imgs, cut_var, cut_canny, min_size=80)
-    res: List[List[Array]] = []
-    if len(split) == 1 and split[0][0][0].shape == cut_imgs[0].shape:
-        res.extend([s[0] for s in split])
-    else:
-        for sub_imgs, sub_var, sub_canny in split:
-            res.extend(clean_imgs(sub_imgs, sub_var, sub_canny))
-    return res
+    """Box recursion applied to host frames (compatibility wrapper)."""
+    h, w = imgs[0].shape[:2]
+    boxes = clean_boxes(img_var, avg_canny, len(imgs), (0, h, 0, w))
+    return [[img[sh:eh, sw:ew, :] for img in imgs] for sh, eh, sw, ew in boxes]
 
 
 def image_process(
@@ -394,24 +415,52 @@ def image_process(
     copy of the same frames — the variance/edge maps then compute without
     re-shipping (the cut decisions still run on the host copies).
     """
-    from PIL import Image
-
     try:
-        imgs = [np.array(x) for x in img_list]
-        if precomputed_maps is not None:
-            img_var, avg_canny = precomputed_maps
-        elif device_frames is not None:
-            img_var, avg_canny = variance_and_edges_device(device_frames)
-        elif use_device_maps:
-            img_var, avg_canny = variance_and_edges_device(imgs)
-        else:
-            img_var, avg_canny = variance_and_edges_host(imgs)
-        clean_list = clean_imgs(imgs, img_var, avg_canny)
-        if len(clean_list) > 1 or clean_list[0][0].shape != imgs[0].shape:
+        changed, boxes = image_process_boxes(
+            img_list,
+            use_device_maps=use_device_maps,
+            device_frames=device_frames,
+            precomputed_maps=precomputed_maps,
+        )
+        if changed:
+            imgs = [np.asarray(x) for x in img_list]
             out = []
-            for sub in clean_list:
-                out.extend([Image.fromarray(x) for x in sub])
+            for sh, eh, sw, ew in boxes:
+                out.extend([img[sh:eh, sw:ew, :] for img in imgs])
             return True, out
     except Exception:
         pass
     return False, list(img_list)
+
+
+def image_process_boxes(
+    img_list: Sequence,
+    use_device_maps: bool = False,
+    device_frames=None,
+    precomputed_maps: Optional[Tuple[Array, Array]] = None,
+) -> Tuple[bool, List[Box]]:
+    """Box-producing FSD: (changed?, crop boxes in original coordinates).
+
+    The serving path prefers this form: each (video, box) stream can then be
+    cropped+resized on device directly from the original frames with a
+    shape-static program (data/transforms.crop_resize_normalize), with no
+    host crop materialization and no per-crop-shape recompiles.
+    """
+    n = len(img_list)
+    first = np.asarray(img_list[0])
+    h, w = first.shape[:2]
+    if precomputed_maps is not None:
+        img_var, avg_canny = precomputed_maps
+    elif device_frames is not None:
+        img_var, avg_canny = variance_and_edges_device(device_frames)
+    elif use_device_maps:
+        img_var, avg_canny = variance_and_edges_device(
+            [np.asarray(x) for x in img_list]
+        )
+    else:
+        img_var, avg_canny = variance_and_edges_host(
+            [np.asarray(x) for x in img_list]
+        )
+    boxes = clean_boxes(img_var, avg_canny, n, (0, h, 0, w))
+    changed = len(boxes) > 1 or boxes[0] != (0, h, 0, w)
+    return changed, boxes

@@ -102,3 +102,68 @@ def batch_frames(frames: list, chunk: int = 48) -> list:
     LEN_THRESHOLD=48 inference micro-batching, extract_query_feats.py:55)."""
     arr = np.stack([np.asarray(f) for f in frames])
     return [arr[i : i + chunk] for i in range(0, len(arr), chunk)]
+
+
+# ---------------------------------------------------------------------------
+# Shape-static crop+resize: dense cubic weight matrices
+# ---------------------------------------------------------------------------
+#
+# FSD scene splitting yields crop boxes of data-dependent sizes; resizing
+# each crop with jax.image.resize would compile one program per crop shape
+# (unbounded recompilation in serving). Since resize is linear, a crop's
+# resize is a pair of dense matrices over the ORIGINAL axes — zero outside
+# the box — so every stream of an [N, H, W, 3] video runs the SAME compiled
+# einsum program, with the box carried entirely in the (tiny, host-built)
+# weight data. Weights replicate jax.image.resize(method="cubic") exactly:
+# Keys cubic kernel (a = -0.5), antialias stretch on downscale, per-output
+# renormalization.
+
+
+def _keys_cubic(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    x2, x3 = x * x, x * x * x
+    return np.where(
+        x <= 1.0,
+        1.5 * x3 - 2.5 * x2 + 1.0,
+        np.where(x < 2.0, -0.5 * x3 + 2.5 * x2 - 4.0 * x + 2.0, 0.0),
+    )
+
+
+def cubic_resize_weights(
+    in_size: int, out_size: int, start: int = 0, stop: int | None = None
+) -> np.ndarray:
+    """[in_size, out_size] f32 matrix resizing the slice [start, stop) to
+    out_size with jax.image.resize "cubic" semantics; rows outside the slice
+    are zero. x[..., start:stop] resized == x @ W along that axis."""
+    stop = in_size if stop is None else stop
+    length = stop - start
+    scale = out_size / length
+    kernel_scale = max(1.0 / scale, 1.0)  # antialias stretch when downscaling
+    sample_f = (np.arange(out_size) + 0.5) / scale - 0.5  # in crop coords
+    x = (
+        np.abs(sample_f[None, :] - np.arange(length)[:, None]) / kernel_scale
+    )
+    weights = _keys_cubic(x) / kernel_scale
+    total = weights.sum(axis=0, keepdims=True)
+    weights = np.where(np.abs(total) > 1e-6, weights / total, 0.0)
+    full = np.zeros((in_size, out_size), np.float32)
+    full[start:stop] = weights.astype(np.float32)
+    return full
+
+
+@functools.partial(jax.jit, static_argnames=("preset", "out_dtype"))
+def crop_resize_normalize(
+    frames_u8: jax.Array,  # [N, H, W, 3] uint8
+    row_w: jax.Array,  # [H, S]
+    col_w: jax.Array,  # [W, S]
+    preset: str = "vit",
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Crop+resize+normalize as two dense MXU einsums, shape-static in the
+    original frame size (the crop lives in the weight matrices)."""
+    mean, std = PRESETS[preset]
+    x = frames_u8.astype(jnp.float32) / 255.0
+    y = jnp.einsum("nhwc,hs->nswc", x, row_w, preferred_element_type=jnp.float32)
+    y = jnp.einsum("nswc,wt->nstc", y, col_w, preferred_element_type=jnp.float32)
+    y = (y - jnp.asarray(mean)) / jnp.asarray(std)
+    return y.astype(out_dtype)

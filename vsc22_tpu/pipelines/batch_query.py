@@ -32,7 +32,12 @@ import numpy as np
 
 from vsc22_tpu.core.types import VideoFeature
 from vsc22_tpu.data import fsd
-from vsc22_tpu.data.transforms import clip_preprocess, resize_normalize
+from vsc22_tpu.data.transforms import (
+    clip_preprocess,
+    crop_resize_normalize,
+    cubic_resize_weights,
+    resize_normalize,
+)
 from vsc22_tpu.ops.pca import PCAModel
 from vsc22_tpu.pipelines.query_extract import (
     FRAME_THRESHOLD,
@@ -183,6 +188,16 @@ class BatchedQueryPipeline:
         self.timer = timer
         for ext in self.extractors:
             ext.timer = timer
+        self._weight_cache: Dict[Tuple[int, int, int, int], jax.Array] = {}
+
+    def _weights(self, in_size: int, out_size: int, start: int, stop: int) -> jax.Array:
+        """Device-cached cubic crop-resize weight matrix."""
+        key = (in_size, out_size, start, stop)
+        w = self._weight_cache.get(key)
+        if w is None:
+            w = jnp.asarray(cubic_resize_weights(in_size, out_size, start, stop))
+            self._weight_cache[key] = w
+        return w
 
     def process_batch(
         self,
@@ -245,40 +260,35 @@ class BatchedQueryPipeline:
                 continue
             edited_idx.append(i)
             n_in = int(vid_dev.shape[0])
-            streams = [vid_dev]
-            n_out = n_in
+            h, w = int(vid_dev.shape[1]), int(vid_dev.shape[2])
+            boxes = [(0, h, 0, w)]
             if self.use_fsd:
-                host_frames = np.asarray(videos_u8[i], np.uint8)
-                changed, out_frames = fsd.image_process(
-                    list(host_frames),
-                    use_device_maps=self.use_device_fsd_maps,
-                    device_frames=(
-                        vid_dev
-                        if self.use_device_fsd_maps and i not in batch_maps
-                        else None
-                    ),
-                    precomputed_maps=batch_maps.get(i),
-                )
-                if changed:
-                    arrs = [np.asarray(f) for f in out_frames]
-                    streams = []
-                    start = 0
-                    while start < len(arrs):
-                        end = start + 1
-                        while end < len(arrs) and arrs[end].shape == arrs[start].shape:
-                            end += 1
-                        streams.append(jnp.asarray(np.stack(arrs[start:end])))
-                        start = end
-                    n_out = len(arrs)
-            split_ratio = max(n_out // n_in, 1)
-            proc.append(streams)
-            frame_counts.append(n_out)
-            full_ts.append(np.array(list(ts) * split_ratio))
+                try:
+                    changed, fsd_boxes = fsd.image_process_boxes(
+                        videos_u8[i],
+                        use_device_maps=self.use_device_fsd_maps,
+                        device_frames=(
+                            vid_dev
+                            if self.use_device_fsd_maps and i not in batch_maps
+                            else None
+                        ),
+                        precomputed_maps=batch_maps.get(i),
+                    )
+                    if changed:
+                        boxes = fsd_boxes
+                except Exception:
+                    pass  # reference robustness contract: fall back to raw
+            proc.append([(i, box) for box in boxes])
+            frame_counts.append(n_in * len(boxes))
+            full_ts.append(np.array(list(ts) * len(boxes)))
         fsd_cm.__exit__(None, None, None)
 
         # Stage 3: ensemble extraction, cross-video chunks per model.
-        # Extractors sharing a (size, preset) — the three SwinV2 members —
-        # also share one device preprocessing pass.
+        # Each stream is (video, crop box): crop+resize runs on device as a
+        # shape-static weight-matrix einsum against the ORIGINAL frames —
+        # one compiled program per (frame shape, output size) no matter how
+        # FSD cuts, and no host crop materialization. Extractors sharing a
+        # (size, preset) — the three SwinV2 members — share the pass.
         edited = [s for i in edited_idx for s in proc[i]]
         if edited:
             pre_cache: Dict[Tuple, List[jax.Array]] = {}
@@ -287,7 +297,22 @@ class BatchedQueryPipeline:
                 key = (ext.size, ext.preset, str(ext.model.dtype))
                 with self.timer.stage(f"preprocess_{key[0]}"):
                     if key not in pre_cache:
-                        pre_cache[key] = [ext.preprocess(v) for v in edited]
+                        pre_cache[key] = [
+                            crop_resize_normalize(
+                                device_videos[i],
+                                self._weights(
+                                    int(device_videos[i].shape[1]), ext.size,
+                                    box[0], box[1],
+                                ),
+                                self._weights(
+                                    int(device_videos[i].shape[2]), ext.size,
+                                    box[2], box[3],
+                                ),
+                                preset=ext.preset,
+                                out_dtype=ext.model.dtype,
+                            )
+                            for (i, box) in edited
+                        ]
                 with self.timer.stage(f"extract_{ext.size}_{ext.preset}"):
                     per_model.append(_l2(ext.extract_concat(pre_cache[key])))
             concat = np.concatenate(per_model, axis=1)  # [sum frames, 2048]

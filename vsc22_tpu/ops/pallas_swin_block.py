@@ -80,12 +80,15 @@ def _make_kernel(g_windows: int, num_heads: int, head_dim: int,
         ln2_s_ref,  # [1, C]
         ln2_b_ref,  # [1, C]
         rpb_ref,  # [H, N, N] f32
-        mask_ref,  # [1, G, N, N] f32
-        out_ref,  # [1, G, N, C]
-        qt_ref,  # scratch [C, N] f32 (token-transposed q; heads = sublanes)
-        kt_ref,  # scratch [C, N] f32
-        vt_ref,  # scratch [C, N] compute dtype
+        *rest,  # [mask_ref if apply_mask,] out_ref, qt, kt, vt
     ):
+        if apply_mask:
+            mask_ref, out_ref, qt_ref, kt_ref, vt_ref = rest
+        else:
+            # Unshifted blocks never ship a mask operand (saves VMEM and
+            # allows window groups untied to the shift-mask period).
+            mask_ref = None
+            out_ref, qt_ref, kt_ref, vt_ref = rest
         h = num_heads
         hd = head_dim
         n = x_ref.shape[2]
@@ -183,11 +186,13 @@ def _make_kernel(g_windows: int, num_heads: int, head_dim: int,
     return _kernel
 
 
-def _vmem_estimate(g: int, n: int, c: int, f: int, h: int, itemsize: int) -> int:
+def _vmem_estimate(
+    g: int, n: int, c: int, f: int, h: int, itemsize: int, apply_mask: bool = True
+) -> int:
     x_out = 2 * 2 * g * n * c * itemsize  # x + out, double-buffered
     weights = (4 * c * c + c * f + f * c) * itemsize + 2 * h * hd_bytes(c, h)
     rpb = h * n * n * 4
-    mask = 2 * g * n * n * 4
+    mask = 2 * g * n * n * 4 if apply_mask else 0
     temps = n * f * 4 + 4 * n * n * 4 + 8 * n * c * 4
     return x_out + weights + rpb + mask + temps
 
@@ -228,16 +233,24 @@ def swin_block_fused(
     f = fc1_w.shape[1]
     nw = num_shift_windows
 
-    g_win = nw
+    # Group size: masked (shifted) blocks must align groups to the nw-mask
+    # period; unshifted blocks ignore the mask, so groups are limited only
+    # by the total window count and the VMEM budget. This matters most in
+    # stage 3 (window == resolution -> nw == 1), where mask-tied grouping
+    # would run ONE window per grid step.
+    g_limit = nw if apply_mask else w
+    g_win = min(g_limit, 16)
     while g_win > 1 and (
-        g_win > 8 or nw % g_win or _vmem_estimate(g_win, n, c, f, h, x.dtype.itemsize) > 48 * 2**20
+        g_limit % g_win
+        or _vmem_estimate(g_win, n, c, f, h, x.dtype.itemsize, apply_mask)
+        > 48 * 2**20
     ):
         g_win -= 1
     num_groups = w // g_win
-    groups_per_item = nw // g_win
+    groups_per_item = max(nw // g_win, 1)
 
     x4 = x.reshape(num_groups, g_win, n, c)
-    mask4 = mask.reshape(groups_per_item, g_win, n, n)
+    mask4 = mask.reshape(groups_per_item, g_win, n, n) if apply_mask else None
 
     # Output-major (transposed) qkv weights: the kernel computes [C, N]
     # q/k/v tiles so each head is a sublane slice. Proj stays head-split.
@@ -251,43 +264,26 @@ def swin_block_fused(
     def const(shape):
         return pl.BlockSpec(shape, lambda i, _s: tuple(0 for _ in shape))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_groups,),
-        in_specs=[
-            pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
-            const((c, c)),
-            const((c, c)),
-            const((c, c)),
-            const((c, 1)),
-            const((c, 1)),
-            const((h, hd, c)),
-            const((1, c)),
-            const((1, c)),
-            const((1, c)),
-            const((c, f)),
-            const((1, f)),
-            const((f, c)),
-            const((1, c)),
-            const((1, c)),
-            const((1, c)),
-            const((h, n, n)),
-            pl.BlockSpec((1, g_win, n, n), lambda i, _s: (i % groups_per_item, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((c, n), jnp.float32),  # q (token-transposed)
-            pltpu.VMEM((c, n), jnp.float32),  # k
-            pltpu.VMEM((c, n), x.dtype),  # v
-        ],
-    )
-    out = pl.pallas_call(
-        _make_kernel(g_win, h, hd, apply_mask=apply_mask),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_groups, g_win, n, c), x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
+        const((c, c)),
+        const((c, c)),
+        const((c, c)),
+        const((c, 1)),
+        const((c, 1)),
+        const((h, hd, c)),
+        const((1, c)),
+        const((1, c)),
+        const((1, c)),
+        const((c, f)),
+        const((1, f)),
+        const((f, c)),
+        const((1, c)),
+        const((1, c)),
+        const((1, c)),
+        const((h, n, n)),
+    ]
+    operands = [
         scale,
         x4,
         wq_t,
@@ -306,8 +302,33 @@ def swin_block_fused(
         ln2_s.reshape(1, -1),
         ln2_b.reshape(1, -1),
         rpb,
-        mask4,
+    ]
+    if apply_mask:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, g_win, n, n), lambda i, _s: (i % groups_per_item, 0, 0, 0)
+            )
+        )
+        operands.append(mask4)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_groups,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((c, n), jnp.float32),  # q (token-transposed)
+            pltpu.VMEM((c, n), jnp.float32),  # k
+            pltpu.VMEM((c, n), x.dtype),  # v
+        ],
     )
+    out = pl.pallas_call(
+        _make_kernel(g_win, h, hd, apply_mask=apply_mask),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_groups, g_win, n, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(*operands)
     return out.reshape(w, n, c)
 
 
@@ -363,15 +384,18 @@ def swin_block(
             fc2_w, fc2_b, ln2_s, ln2_b, rpb, scale, mask)
     n, c = x.shape[1], x.shape[2]
     f = fc1_w.shape[1]
-    fits = _vmem_estimate(1, n, c, f, num_heads, x.dtype.itemsize) < 48 * 2**20
-    # c > 512 (stage 4 of Base) measures no faster fused — window counts are
-    # tiny there and XLA already pipelines well; keep it on the XLA path.
+    fits = (
+        _vmem_estimate(
+            1, n, c, f, num_heads, x.dtype.itemsize, num_shift_windows > 1
+        )
+        < 48 * 2**20
+    )
     if (
         jax.default_backend() == "tpu"
         and fits
         and c % 128 == 0
         and f % 128 == 0
-        and c <= 512
+        and c <= 1024
     ):
         return swin_block_fused(
             *args,

@@ -212,6 +212,51 @@ class BatchedQueryPipeline:
         pre-staged by an async feeder); frames then never re-ship and never
         round-trip back to the host unless FSD finds scene splits.
         """
+        return self._extract_finish(
+            self._prepare(names, videos_u8, timestamps, device_videos)
+        )
+
+    def process_many(
+        self,
+        names: Sequence[str],
+        videos_u8: Sequence[np.ndarray],
+        batch: int = 8,
+        device_videos: Optional[Sequence[jax.Array]] = None,
+    ) -> List[VideoFeature]:
+        """Pipelined multi-batch processing.
+
+        Batch i+1's gating stage (VED scores, FSD maps + host cut decisions)
+        runs on a worker thread while batch i's extraction stage holds the
+        main thread — the extraction fetches are relay I/O that release the
+        GIL, so the next batch's host work and device dispatches hide under
+        them instead of stalling the chip between batches.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        spans = [
+            (lo, min(lo + batch, len(names))) for lo in range(0, len(names), batch)
+        ]
+
+        def prep(span):
+            lo, hi = span
+            return self._prepare(
+                names[lo:hi],
+                videos_u8[lo:hi],
+                None,
+                device_videos[lo:hi] if device_videos is not None else None,
+            )
+
+        out: List[VideoFeature] = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prep, spans[0])
+            for nxt in spans[1:] + [None]:
+                ctx = fut.result()
+                if nxt is not None:
+                    fut = pool.submit(prep, nxt)
+                out.extend(self._extract_finish(ctx))
+        return out
+
+    def _prepare(self, names, videos_u8, timestamps=None, device_videos=None):
         if timestamps is None:
             timestamps = [list(range(len(v))) for v in videos_u8]
 
@@ -282,6 +327,24 @@ class BatchedQueryPipeline:
             frame_counts.append(n_in * len(boxes))
             full_ts.append(np.array(list(ts) * len(boxes)))
         fsd_cm.__exit__(None, None, None)
+        return dict(
+            names=names,
+            scores=scores,
+            proc=proc,
+            frame_counts=frame_counts,
+            full_ts=full_ts,
+            edited_idx=edited_idx,
+            device_videos=device_videos,
+        )
+
+    def _extract_finish(self, ctx) -> List[VideoFeature]:
+        names = ctx["names"]
+        scores = ctx["scores"]
+        proc = ctx["proc"]
+        frame_counts = ctx["frame_counts"]
+        full_ts = ctx["full_ts"]
+        edited_idx = ctx["edited_idx"]
+        device_videos = ctx["device_videos"]
 
         # Stage 3: ensemble extraction, cross-video chunks per model.
         # Each stream is (video, crop box): crop+resize runs on device as a

@@ -121,20 +121,11 @@ class MultiHeadAttention(nn.Module):
         )
         if use_fused:
             # Fused on-chip softmax(QK^T)V — the [B, H, L, L] tensors never
-            # touch HBM (ops/pallas_attn; XLA-recompute VJP inside).
+            # touch HBM, and heads run as block-diagonal K-packed GEMMs at
+            # full MXU rate (ops/pallas_attn; XLA-recompute VJP inside).
             from vsc22_tpu.ops.pallas_attn import attention
 
-            def heads_first(t):
-                return jnp.transpose(t, (0, 2, 1, 3)).reshape(
-                    b * self.num_heads, l, head_dim
-                )
-
-            out = attention(
-                heads_first(q * (head_dim**-0.5)), heads_first(k), heads_first(v)
-            )
-            out = jnp.transpose(
-                out.reshape(b, self.num_heads, l, head_dim), (0, 2, 1, 3)
-            )
+            out = attention(q * (head_dim**-0.5), k, v)  # [B, L, H, hd]
         else:
             attn = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
             attn = attn * (head_dim**-0.5)

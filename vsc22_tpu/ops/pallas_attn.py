@@ -1,16 +1,24 @@
 """Fused plain (full, non-causal) attention for ViT-style encoders.
 
 Why: the XLA path materializes [B, H, L, L] attention logits + probabilities
-in HBM for every layer (CLIP ViT-L/14 at batch 48: ~200MB per block x 24
-layers); the per-row softmax fits trivially in VMEM at encoder sequence
-lengths (L <= ~1k). This kernel computes softmax(q @ k^T) @ v per
-(batch, head) grid cell entirely on-chip — HBM traffic drops to q/k/v/out.
+in HBM for every layer, and a naive per-(batch, head) kernel runs tiny
+[L, hd] GEMMs at a fraction of MXU rate (hd=64 gives 50% K utilization and
+the 24-layer CLIP tower measured 18 TFLOP/s in attention). This kernel
+processes one FRAME per grid cell in a token-transposed [C, L] layout:
+
+  - heads group in pairs (group = 128 // hd) whose k tiles pack into a
+    BLOCK-DIAGONAL [group*hd, group*L] scratch, so one K=128 GEMM emits
+    every head's logits side by side in the lane dimension;
+  - attention*V computes transposed ([hd, L] = v_t x probs^T, K=L dense)
+    straight into the [C, L] output block at the head's sublane offset.
+
+Same layout tricks as ops/pallas_swin_block (measured there: +37% on the
+full backbone). Inputs arrive [B, L, H, hd] with the softmax scale folded
+into q; padding to the 128-lane tile is handled here (padded key columns
+masked to -1e9, padded query rows produce garbage that is sliced off).
 
 Used by models.layers.MultiHeadAttention on TPU (deterministic, no bias),
-i.e. by the ViT-B/32 flagship and the CLIP tower. Scale (head_dim^-0.5) is
-folded into q by the caller. Sequence padding is handled here: tokens pad
-to the sublane tile and padded key columns are masked to -1e9 (padded query
-rows produce garbage that the caller slices off).
+i.e. by the ViT-B/32 flagship and the CLIP tower.
 
 Differentiation: custom VJP recomputes in plain XLA (same pattern as
 pallas_mlp / pallas_swin_block).
@@ -26,83 +34,100 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(g_rows: int, valid: int):
-    def _kernel(q_ref, k_ref, v_ref, out_ref):
-        s = q_ref.shape[2]
+def _make_kernel(num_heads: int, head_dim: int, group: int, valid: int):
+    ghd = group * head_dim
 
-        def body(g, carry):
-            q = q_ref[0, g]  # [S, hd]
-            k = k_ref[0, g]
-            v = v_ref[0, g]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+    def _kernel(qt_ref, kt_ref, vt_ref, out_ref, kp_ref):
+        lp = qt_ref.shape[2]
+
+        def head_group(g_i, carry):
+            row0 = g_i * ghd
+            kp_ref[:] = jnp.zeros((ghd, group * lp), kt_ref.dtype)
+            for u in range(group):
+                kp_ref[pl.ds(u * head_dim, head_dim), pl.ds(u * lp, lp)] = (
+                    kt_ref[0, pl.ds(row0 + u * head_dim, head_dim), :]
+                )
+            logits_all = jax.lax.dot_general(
+                qt_ref[0, pl.ds(row0, ghd), :], kp_ref[:],
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [S, S]
-            if valid < s:
-                col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-                logits = jnp.where(col < valid, logits, -1e9)
-            probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-            out = jax.lax.dot_general(
-                probs, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out_ref[0, g] = out.astype(out_ref.dtype)
+            )  # [Lp, group*Lp]
+            if valid < lp:
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (lp, group * lp), 1
+                ) % lp
+                logits_all = jnp.where(col < valid, logits_all, -1e9)
+            for u in range(group):
+                probs = jax.nn.softmax(
+                    logits_all[:, u * lp : (u + 1) * lp], axis=-1
+                ).astype(vt_ref.dtype)
+                vh = vt_ref[0, pl.ds(row0 + u * head_dim, head_dim), :]
+                out_ref[0, pl.ds(row0 + u * head_dim, head_dim), :] = (
+                    jax.lax.dot_general(
+                        vh, probs, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(out_ref.dtype)
+                )
             return carry
 
-        jax.lax.fori_loop(0, g_rows, body, 0)
+        jax.lax.fori_loop(0, num_heads // group, head_group, 0)
 
     return _kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def plain_attention(
-    q: jax.Array,  # [W, L, hd] with W = batch * heads; scale pre-folded into q
+def packed_attention(
+    q: jax.Array,  # [B, L, H, hd]; softmax scale pre-folded into q
     k: jax.Array,
     v: jax.Array,
     interpret: bool = False,
 ) -> jax.Array:
-    w, l, hd = q.shape
-    s = -(-l // 128) * 128  # pad tokens so the logits tile is lane-aligned
-    if s != l:
-        pad = [(0, 0), (0, s - l), (0, 0)]
-        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    b, l, h, hd = q.shape
+    c = h * hd
+    lp = -(-l // 128) * 128  # lane-align the token axis
 
-    def vmem(g):
-        return 2 * 2 * 3 * g * s * hd * q.dtype.itemsize + 2 * g * s * s * 4
-
-    g_rows = 1
-    for cand in (16, 8, 4, 2, 1):
-        if w % cand == 0 and vmem(cand) < 24 * 2**20:
-            g_rows = cand
+    group = 1
+    for cand in range(min(4, h, max(128 // hd, 1)), 0, -1):
+        if h % cand == 0:
+            group = cand
             break
-    num_groups = w // g_rows
-    q4, k4, v4 = (x.reshape(num_groups, g_rows, s, hd) for x in (q, k, v))
-    spec = pl.BlockSpec((1, g_rows, s, hd), lambda i: (i, 0, 0, 0))
-    out = pl.pallas_call(
-        _make_kernel(g_rows, l),
-        grid=(num_groups,),
+
+    def to_t(t):  # [B, L, H, hd] -> [B, C, Lp]
+        t = t.reshape(b, l, c).transpose(0, 2, 1)
+        if lp != l:
+            t = jnp.pad(t, [(0, 0), (0, 0), (0, lp - l)])
+        return t
+
+    qt, kt, vt = (to_t(t) for t in (q, k, v))
+    spec = pl.BlockSpec((1, c, lp), lambda i: (i, 0, 0))
+    out_t = pl.pallas_call(
+        _make_kernel(h, hd, group, l),
+        grid=(b,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((num_groups, g_rows, s, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, c, lp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((group * hd, group * lp), q.dtype),  # block-diag K
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(q4, k4, v4)
-    return out.reshape(w, s, hd)[:, :l]
+    )(qt, kt, vt)
+    return out_t[:, :, :l].transpose(0, 2, 1).reshape(b, l, h, hd)
 
 
 def _attention_xla(q, k, v):
-    logits = jnp.einsum("wld,wmd->wlm", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum(
-        "wlm,wmd->wld", probs, v, preferred_element_type=jnp.float32
+        "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
     ).astype(q.dtype)
 
 
 @jax.custom_vjp
 def attention(q, k, v):
-    """softmax(q @ k^T) @ v over [W, L, hd]; Pallas on TPU, XLA elsewhere."""
+    """softmax(q @ k^T) @ v over [B, L, H, hd]; Pallas on TPU, XLA elsewhere."""
     if jax.default_backend() == "tpu":
-        return plain_attention(q, k, v)
+        return packed_attention(q, k, v)
     return _attention_xla(q, k, v)
 
 

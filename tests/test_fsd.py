@@ -149,8 +149,9 @@ def test_batch_maps_match_per_video():
     assert bvar.shape == (3, 48, 64) and bedges.shape == (3, 48, 64)
     for i in range(3):
         var_i, edges_i = fsd.variance_and_edges_device(jnp.asarray(videos[i]))
-        np.testing.assert_allclose(bvar[i], var_i, rtol=1e-5, atol=1e-4)
-        np.testing.assert_allclose(bedges[i], edges_i, rtol=1e-5, atol=1e-6)
+        # batch maps ship f16 (transfer halving); decisions are thresholded
+        np.testing.assert_allclose(bvar[i], var_i, rtol=2e-3, atol=0.5)
+        np.testing.assert_allclose(bedges[i], edges_i, rtol=2e-3, atol=2e-3)
 
 
 def test_image_process_precomputed_maps_equivalent():

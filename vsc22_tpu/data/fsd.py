@@ -147,9 +147,11 @@ def variance_and_edges_device_batch(stack5d) -> Tuple[Array, Array]:
     stack5d = jnp.asarray(stack5d)
     v, n = int(stack5d.shape[0]), int(stack5d.shape[1])
     idx = jnp.asarray(sample_edge_frames(n))
-    # One fused fetch: concatenated output so the relay pays a single
-    # round trip for the whole batch.
-    flat = np.asarray(_batch_maps(stack5d, idx))
+    # One fused fetch, shipped f16: the maps only feed threshold/quantile
+    # cut decisions (values up to ~48k variance, well inside f16 range);
+    # halving the transfer matters because the fetch, not the compute, is
+    # the serving-path cost of this stage.
+    flat = np.asarray(_batch_maps(stack5d, idx)).astype(np.float32)
     return flat[:v], flat[v:]
 
 
@@ -157,7 +159,7 @@ def variance_and_edges_device_batch(stack5d) -> Tuple[Array, Array]:
 def _batch_maps(stack, idx):
     var = jnp.var(stack.astype(jnp.float32), axis=1).sum(-1)
     edges = jax.vmap(_edges_kernel)(jnp.take(stack, idx, axis=1))
-    return jnp.concatenate([var, edges], axis=0)
+    return jnp.concatenate([var, edges], axis=0).astype(jnp.float16)
 
 
 def variance_and_edges_host(frames: Sequence[Array]) -> Tuple[Array, Array]:

@@ -42,32 +42,41 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 
 class CLIPBlock(nn.Module):
-    """Pre-LN residual attention block with QuickGELU MLP."""
+    """Pre-LN residual attention block with QuickGELU MLP.
+
+    The whole block (LN1 -> QKV -> packed attention -> proj -> residual ->
+    LN2 -> MLP -> residual) runs as ONE Pallas kernel per frame on TPU
+    (ops/pallas_vit_block); off-TPU the same math runs in XLA. The param
+    tree matches the module forms exactly (ln_1/ln_2 LayerNorm,
+    attn.qkv/attn.proj Dense, c_fc/c_proj Dense).
+    """
 
     heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        y = MultiHeadAttention(self.heads, dtype=self.dtype, name="attn")(y)
-        x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        # MLP through the fused Pallas kernel (hidden stays in VMEM on TPU;
-        # identical math off-TPU). Param tree matches nn.Dense(c_fc/c_proj).
-        from vsc22_tpu.ops.pallas_mlp import fused_mlp
+        from vsc22_tpu.models.layers import AttentionParams, LayerNormParams
+        from vsc22_tpu.ops.pallas_vit_block import vit_block
 
+        c = x.shape[-1]
+        ln1_s, ln1_b = LayerNormParams(c, name="ln_1")()
+        qkv_w, qkv_b, proj_w, proj_b = AttentionParams(c, name="attn")()
+        ln2_s, ln2_b = LayerNormParams(c, name="ln_2")()
         w1, b1 = DenseParams(c, 4 * c, name="c_fc")()
         w2, b2 = DenseParams(4 * c, c, name="c_proj")()
-        b, l, _ = y.shape
-        y = fused_mlp(
-            y.reshape(b * l, c).astype(self.dtype),
-            w1.astype(self.dtype), b1.astype(self.dtype),
-            w2.astype(self.dtype), b2.astype(self.dtype),
+        dt = self.dtype
+        return vit_block(
+            x.astype(dt),
+            ln1_s, ln1_b,
+            qkv_w.astype(dt), qkv_b.astype(jnp.float32),
+            proj_w.astype(dt), proj_b.astype(jnp.float32),
+            ln2_s, ln2_b,
+            w1.astype(dt), b1.astype(jnp.float32),
+            w2.astype(dt), b2.astype(jnp.float32),
+            self.heads,
             "quick_gelu",
-        ).reshape(b, l, c)
-        return x + y
+        )
 
 
 class CLIPVisual(nn.Module):

@@ -198,6 +198,19 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class AttentionParams(nn.Module):
+    """Declares MultiHeadAttention's exact {qkv, proj} Dense param trees
+    without applying them — for blocks routed through fused kernels."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        qkv_w, qkv_b = DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        proj_w, proj_b = DenseParams(self.dim, self.dim, name="proj")()
+        return qkv_w, qkv_b, proj_w, proj_b
+
+
 class LayerNormParams(nn.Module):
     """Declares an nn.LayerNorm's {scale, bias} without applying it."""
 

@@ -36,6 +36,14 @@ CLIP_VIT_L14 = CLIPVisualConfig()
 CLIP_TINY_TEST = CLIPVisualConfig(img_size=32, patch_size=8, width=32, layers=2, heads=2)
 
 
+def _ln(x, scale, bias, dtype, eps=1e-6):
+    """LayerNorm with f32 statistics (flax nn.LayerNorm semantics)."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias).astype(dtype)
+
+
 def quick_gelu(x: jax.Array) -> jax.Array:
     """CLIP's QuickGELU: x * sigmoid(1.702 x)."""
     return x * jax.nn.sigmoid(1.702 * x)
@@ -54,6 +62,11 @@ class CLIPBlock(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
 
+    use_block_kernel: bool = False  # whole-block fusion measured ~neutral
+    # for CLIP (row padding 257->384 in QKV/MLP offsets the glue savings);
+    # the default path fuses attention and the MLP per-op without padding
+    # the dense GEMMs.
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from vsc22_tpu.models.layers import AttentionParams, LayerNormParams
@@ -66,17 +79,54 @@ class CLIPBlock(nn.Module):
         w1, b1 = DenseParams(c, 4 * c, name="c_fc")()
         w2, b2 = DenseParams(4 * c, c, name="c_proj")()
         dt = self.dtype
-        return vit_block(
-            x.astype(dt),
-            ln1_s, ln1_b,
-            qkv_w.astype(dt), qkv_b.astype(jnp.float32),
-            proj_w.astype(dt), proj_b.astype(jnp.float32),
-            ln2_s, ln2_b,
-            w1.astype(dt), b1.astype(jnp.float32),
-            w2.astype(dt), b2.astype(jnp.float32),
-            self.heads,
+        if self.use_block_kernel:
+            return vit_block(
+                x.astype(dt),
+                ln1_s, ln1_b,
+                qkv_w.astype(dt), qkv_b.astype(jnp.float32),
+                proj_w.astype(dt), proj_b.astype(jnp.float32),
+                ln2_s, ln2_b,
+                w1.astype(dt), b1.astype(jnp.float32),
+                w2.astype(dt), b2.astype(jnp.float32),
+                self.heads,
+                "quick_gelu",
+            )
+
+        # Per-op fused path: LN + unpadded QKV/proj/MLP GEMMs, packed-K
+        # attention kernel (ops/pallas_attn), fused QuickGELU MLP.
+        from vsc22_tpu.ops.pallas_attn import attention
+        from vsc22_tpu.ops.pallas_mlp import fused_mlp
+
+        b, l, _ = x.shape
+        hd = c // self.heads
+        y = _ln(x, ln1_s, ln1_b, dt)
+        qkv = (
+            jnp.dot(y.astype(dt), qkv_w.astype(dt),
+                    preferred_element_type=jnp.float32) + qkv_b
+        ).reshape(b, l, 3, self.heads, hd)
+        q, k, v = (qkv[:, :, i].astype(dt) for i in range(3))
+        if jax.default_backend() == "tpu":
+            out = attention(q * (hd**-0.5), k, v)
+        else:
+            logits = jnp.einsum(
+                "blhd,bmhd->bhlm", q * (hd**-0.5), k,
+                preferred_element_type=jnp.float32,
+            )
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            out = jnp.einsum(
+                "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
+            )
+        out = out.reshape(b, l, c).astype(dt)
+        proj = jnp.dot(out, proj_w.astype(dt), preferred_element_type=jnp.float32) + proj_b
+        x = x + proj.astype(dt)
+        y = _ln(x, ln2_s, ln2_b, dt)
+        y = fused_mlp(
+            y.reshape(b * l, c).astype(dt),
+            w1.astype(dt), b1.astype(dt),
+            w2.astype(dt), b2.astype(dt),
             "quick_gelu",
-        )
+        ).reshape(b, l, c)
+        return x + y.astype(dt)
 
 
 class CLIPVisual(nn.Module):

@@ -102,7 +102,7 @@ def main():
         sn_refs = ref_score_normalize(refs, noise, beta=1.2, nk=1)
 
     with timer.stage("search_1200_per_query"):
-        candidates = search(sn_queries, sn_refs)
+        candidates = search(sn_queries, sn_refs, transfer_dtype=np.float16)
     print(f"candidates: {len(candidates)}", flush=True)
 
     with timer.stage("tn_localization"):

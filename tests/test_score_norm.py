@@ -54,7 +54,8 @@ def test_score_normalize_oracle(beta, nk):
         bias = oracle_bias(qp, noise_prepped, beta, nk)
         assert aq.feature.shape == (len(q), dim)  # -1 dim, +1 bias dim
         assert_allclose(aq.feature[:, :-1], qp, atol=1e-6)
-        assert_allclose(aq.feature[:, -1:], bias, atol=1e-4)
+        # bias tolerance covers the f16 operand shipping in row_max_gemm
+        assert_allclose(aq.feature[:, -1:], bias, atol=1e-3)
     for r, ar in zip(refs, adapted_r):
         assert_allclose(ar.feature[:, -1], 1.0)
         assert_allclose(ar.feature[:, :-1], prep(r.feature), atol=1e-6)
@@ -64,7 +65,7 @@ def test_score_normalize_oracle(beta, nk):
     expect = prep(queries[0].feature) @ prep(refs[0].feature).T + oracle_bias(
         prep(queries[0].feature), noise_prepped, beta, nk
     )
-    assert_allclose(q0 @ r0.T, expect, atol=1e-4)
+    assert_allclose(q0 @ r0.T, expect, atol=1e-3)
 
 
 def test_score_normalize_rejects_overlap():

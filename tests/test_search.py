@@ -99,7 +99,8 @@ def test_pallas_row_max_matches_brute(random_features):
 
     q, r = random_features
     out = row_max_gemm(q, r)
-    np.testing.assert_allclose(out, (q @ r.T).max(axis=1), atol=1e-5)
+    # f16 operand shipping (transfer-bound path): ~1e-3 tolerance
+    np.testing.assert_allclose(out, (q @ r.T).max(axis=1), atol=1e-3)
 
 
 def test_pallas_row_max_single_row_and_tiny():
@@ -108,7 +109,7 @@ def test_pallas_row_max_single_row_and_tiny():
     rng = np.random.default_rng(1)
     q = rng.standard_normal((1, 8)).astype(np.float32)
     r = rng.standard_normal((3, 8)).astype(np.float32)
-    np.testing.assert_allclose(row_max_gemm(q, r), (q @ r.T).max(axis=1), atol=1e-6)
+    np.testing.assert_allclose(row_max_gemm(q, r), (q @ r.T).max(axis=1), atol=1e-3)
 
 
 def test_global_topk_exact_at_scale():

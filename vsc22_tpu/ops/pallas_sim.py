@@ -35,11 +35,13 @@ def _row_max_kernel(q_ref, r_ref, out_ref):
         out_ref[:] = jnp.full_like(out_ref, NEG_INF)
 
     sims = jax.lax.dot_general(
-        q_ref[:],
-        r_ref[:],
+        q_ref[:].astype(jnp.float32),
+        r_ref[:].astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # full f32 (multi-pass) on MXU
+        # 3-pass bf16 keeps full precision of the f16-shipped operands;
+        # HIGHEST (6-pass) doubles MXU time for bits the inputs don't have.
+        precision=jax.lax.Precision.HIGH,
     )  # [TQ, TR] on the MXU
     block_max = jnp.max(sims, axis=1, keepdims=True)  # [TQ, 1]
     out_ref[:] = jnp.maximum(out_ref[:], jnp.broadcast_to(block_max, out_ref.shape))
@@ -90,9 +92,12 @@ def row_max_gemm(
 
     q_pad = _round_up(max(nq, tile_q), tile_q)
     r_pad = _round_up(max(num_valid, tile_r), tile_r)
-    q = np.zeros((q_pad, d), np.float32)
+    # Ship f16: the call is host->device-transfer-bound at corpus scale
+    # (unit-norm descriptors; f16 rounding perturbs sims by ~1e-3, far
+    # below CSLS bias score gaps). The kernel computes in f32.
+    q = np.zeros((q_pad, d), np.float16)
     q[:nq] = queries
-    r = np.zeros((r_pad, d), np.float32)
+    r = np.zeros((r_pad, d), np.float16)
     r[:num_valid] = refs[:num_valid]
     # Padding ref rows duplicate row 0: they can tie but never exceed the max.
     if r_pad > num_valid:

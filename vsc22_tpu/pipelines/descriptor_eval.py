@@ -44,9 +44,17 @@ def search(
     retrieve_per_query: float = 1200.0,
     candidates_per_query: float = 25.0,
     mesh=None,
+    transfer_dtype=None,
 ) -> List[CandidatePair]:
-    """Global-k budget retrieval, truncated to top candidates_per_query * |Q|."""
-    cg = CandidateGeneration(refs, MaxScoreAggregation(), mesh=mesh)
+    """Global-k budget retrieval, truncated to top candidates_per_query * |Q|.
+
+    transfer_dtype=np.float16 halves host->device feature shipping (the
+    corpus-scale bottleneck on transfer-limited links) at ~1e-3 score
+    perturbation; the default keeps exact f32 semantics.
+    """
+    cg = CandidateGeneration(
+        refs, MaxScoreAggregation(), mesh=mesh, transfer_dtype=transfer_dtype
+    )
     num_to_retrieve = int(retrieve_per_query * len(queries))
     candidates = cg.query(queries, global_k=num_to_retrieve)
     return candidates[: int(candidates_per_query * len(queries))]

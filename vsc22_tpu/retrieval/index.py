@@ -28,9 +28,10 @@ from vsc22_tpu.retrieval.search import SimilaritySearcher
 class VideoIndex:
     """Inner-product index over per-frame descriptors of many videos."""
 
-    def __init__(self, dim: int, mesh: Optional[Mesh] = None):
+    def __init__(self, dim: int, mesh: Optional[Mesh] = None, transfer_dtype=None):
         self.dim = dim
         self.mesh = mesh
+        self.transfer_dtype = transfer_dtype  # None -> searcher default (f32)
         self._videos: List[VideoFeature] = []
         self._packed: Optional[PackedFeatures] = None
         self._searcher: Optional[SimilaritySearcher] = None
@@ -48,8 +49,11 @@ class VideoIndex:
     def _ensure_built(self):
         if self._searcher is None:
             self._packed = PackedFeatures.from_video_features(self._videos)
+            kw = {}
+            if self.transfer_dtype is not None:
+                kw["transfer_dtype"] = self.transfer_dtype
             self._searcher = SimilaritySearcher(
-                self._packed.features[: self._packed.num_rows], mesh=self.mesh
+                self._packed.features[: self._packed.num_rows], mesh=self.mesh, **kw
             )
         return self._packed, self._searcher
 
@@ -157,9 +161,12 @@ class CandidateGeneration:
         references: List[VideoFeature],
         aggregation: ScoreAggregation,
         mesh: Optional[Mesh] = None,
+        transfer_dtype=None,
     ):
         self.aggregation = aggregation
-        self.index = VideoIndex(references[0].dimensions(), mesh=mesh)
+        self.index = VideoIndex(
+            references[0].dimensions(), mesh=mesh, transfer_dtype=transfer_dtype
+        )
         self.index.add(references)
 
     def query(self, queries: List[VideoFeature], global_k: int) -> List[CandidatePair]:

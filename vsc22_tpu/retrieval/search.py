@@ -85,9 +85,8 @@ def _row_topk_impl(
     nr, dim = refs.shape
     num_tiles = nr // ref_tile
     tq = queries.shape[0]
-    if compute_dtype is not None:
-        queries = queries.astype(compute_dtype)
-        refs = refs.astype(compute_dtype)
+    queries = queries.astype(compute_dtype or jnp.float32)
+    refs = refs.astype(compute_dtype or jnp.float32)
     refs_tiled = refs.reshape(num_tiles, ref_tile, dim)
     kk = min(k, ref_tile)
 
@@ -98,6 +97,9 @@ def _row_topk_impl(
             ref_block,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(
+                None if compute_dtype is not None else jax.lax.Precision.HIGH
+            ),
         )  # [Tq, ref_tile] — MXU GEMM
         col0 = tile_idx * ref_tile
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tq, ref_tile), 1)
@@ -194,25 +196,32 @@ class SimilaritySearcher:
         query_tile: int = 4096,
         compute_dtype=None,
         use_approx: bool = False,
+        transfer_dtype=np.float32,
     ):
         self.num_refs = int(refs.shape[0])
         self.compute_dtype = compute_dtype
         self.use_approx = use_approx
+        self.transfer_dtype = np.dtype(transfer_dtype)
         self.dim = int(refs.shape[1])
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self.query_tile = query_tile
         self._sharded_cache = {}
 
+        # transfer_dtype=np.float16 halves the host->device shipping of the
+        # packed feature matrices — the dominant cost of corpus-scale search
+        # on transfer-limited links (the GEMM still computes in f32/HIGH
+        # from the shipped values). Default f32 preserves the exactness
+        # contract bit-for-bit.
         if mesh is not None:
             nd = mesh.shape[mesh_axis]
             self.shard_rows = _round_up(max(self.num_refs, 1), nd * 128) // nd
-            padded = np.zeros((self.shard_rows * nd, self.dim), np.float32)
+            padded = np.zeros((self.shard_rows * nd, self.dim), self.transfer_dtype)
             padded[: self.num_refs] = refs
             self.ref_tile = self._pick_tile(self.shard_rows, ref_tile)
             self.refs = jax.device_put(padded, NamedSharding(mesh, P(mesh_axis)))
         else:
-            padded = _pad_rows(refs.astype(np.float32), 128)
+            padded = _pad_rows(refs.astype(self.transfer_dtype), 128)
             self.ref_tile = self._pick_tile(padded.shape[0], ref_tile)
             self.refs = jax.device_put(padded)
 
@@ -227,7 +236,7 @@ class SimilaritySearcher:
         Returns (scores [Nq,k], indices [Nq,k])."""
         nq = queries.shape[0]
         k_eff = max(1, min(k, self.num_refs))
-        q = _pad_rows(queries.astype(np.float32), 128)
+        q = _pad_rows(queries.astype(self.transfer_dtype), 128)
         tile = min(self.query_tile, q.shape[0])
         if q.shape[0] % tile:
             q = _pad_rows(q, tile)

@@ -35,13 +35,15 @@ def _row_max_kernel(q_ref, r_ref, out_ref):
         out_ref[:] = jnp.full_like(out_ref, NEG_INF)
 
     sims = jax.lax.dot_general(
-        q_ref[:].astype(jnp.float32),
-        r_ref[:].astype(jnp.float32),
+        q_ref[:],
+        r_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        # 3-pass bf16 keeps full precision of the f16-shipped operands;
-        # HIGHEST (6-pass) doubles MXU time for bits the inputs don't have.
-        precision=jax.lax.Precision.HIGH,
+        # HIGHEST keeps full precision of the f16-shipped operands (the
+        # f16->f32 cast happens in XLA before the kernel — Mosaic supports
+        # neither f16 inputs nor the HIGH tier); the GEMM is a negligible
+        # share of this transfer-bound call.
+        precision=jax.lax.Precision.HIGHEST,
     )  # [TQ, TR] on the MXU
     block_max = jnp.max(sims, axis=1, keepdims=True)  # [TQ, 1]
     out_ref[:] = jnp.maximum(out_ref[:], jnp.broadcast_to(block_max, out_ref.shape))
@@ -53,6 +55,8 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_r", "interpret"))
 def _row_max_call(q, r, *, tile_q: int, tile_r: int, interpret: bool):
+    q = q.astype(jnp.float32)  # operands ship f16; kernel computes f32
+    r = r.astype(jnp.float32)
     nq, d = q.shape
     nr = r.shape[0]
     grid = (nq // tile_q, nr // tile_r)

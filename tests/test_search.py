@@ -154,3 +154,48 @@ def test_use_approx_is_optin_and_high_recall():
     sa, ia = approx.row_topk(q, 25)
     hits = np.mean([len(set(ie[i]) & set(ia[i])) / 25.0 for i in range(len(q))])
     assert hits >= 0.98
+
+
+def test_fast_exact_scan_with_candidate_burst():
+    """Adversarial case for the fast-exact scan: one query whose top-k
+    contains far more than extract_e near-identical entries inside a single
+    reference tile. The counting verification must flag the row and the
+    rescan must restore the exact result."""
+    from vsc22_tpu.retrieval.search import SimilaritySearcher
+
+    rng = np.random.default_rng(11)
+    d = 32
+    refs = rng.standard_normal((2048, d)).astype(np.float32)
+    refs /= np.linalg.norm(refs, axis=1, keepdims=True)
+    target = rng.standard_normal(d).astype(np.float32)
+    target /= np.linalg.norm(target)
+    # 60 near-duplicates of the target packed contiguously (one tile zone)
+    burst = target[None, :] + rng.normal(0, 1e-3, (60, d)).astype(np.float32)
+    burst /= np.linalg.norm(burst, axis=1, keepdims=True)
+    refs[100:160] = burst
+
+    queries = np.concatenate(
+        [target[None, :], rng.standard_normal((7, d)).astype(np.float32)]
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    s = SimilaritySearcher(refs, ref_tile=512, extract_e=8)
+    scores, idx = s.row_topk(queries, 40)
+    brute = queries @ refs.T
+    expect = -np.sort(-brute, axis=1)[:, :40]
+    assert_allclose(scores, expect, atol=2e-3)
+    # the burst row's top-40 must all come from the duplicate zone
+    assert (np.sort(idx[0])[:40] >= 100).all() and (np.sort(idx[0])[:40] < 160).all()
+
+
+def test_fast_exact_matches_slow_path():
+    from vsc22_tpu.retrieval.search import SimilaritySearcher
+
+    rng = np.random.default_rng(12)
+    refs = rng.standard_normal((4096, 24)).astype(np.float32)
+    queries = rng.standard_normal((200, 24)).astype(np.float32)
+    fast = SimilaritySearcher(refs, ref_tile=1024, extract_e=8)
+    slow = SimilaritySearcher(refs, ref_tile=1024, extract_e=0)
+    sf, _ = fast.row_topk(queries, 50)
+    ss, _ = slow.row_topk(queries, 50)
+    assert_allclose(sf, ss, atol=2e-3)

@@ -70,8 +70,8 @@ def make_corpus(n_queries, n_refs, frames, dim, seed=0, planted_frac=0.1):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", type=int, default=200)
-    ap.add_argument("--refs", type=int, default=2000)
+    ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--refs", type=int, default=500)
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--tiny", action="store_true", help="tiny models (CPU smoke)")
@@ -118,9 +118,18 @@ def main():
     def run():
         sn_q = query_score_normalize(queries, noise_r, beta=1.5, nk=10)
         sn_r = ref_score_normalize(refs, noise_r, beta=1.5, nk=10)
+        # untrained filter has no selectivity; emulate the trained
+        # filter's ~95% rejection (matching PDF 2.2) for a representative
+        # stage-5 load
+        # reference operating point: ~25 recalled pairs per query video,
+        # of which the trained filter keeps ~5% + planted matches
         return matching_inference(
-            queries, refs, sn_q, sn_r, qlen, classify, refine
+            queries, refs, sn_q, sn_r, qlen, classify, refine,
+            cls_keep_fraction=0.2,
+            max_candidates=25 * args.queries,
         )
+
+    from vsc22_tpu.pipelines.matching_infer import recall_candidates
 
     rows = run()  # warmup/compile
     t0 = time.perf_counter()
@@ -137,6 +146,7 @@ def main():
                 "n_matches": len(rows),
                 "queries": args.queries,
                 "refs": args.refs,
+                "frames_per_video": args.frames,
             }
         )
     )

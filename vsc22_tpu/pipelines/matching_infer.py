@@ -86,15 +86,19 @@ class ClassifyEnsemble:
     def predict(self, sim_mats: Sequence[np.ndarray]) -> np.ndarray:
         if not sim_mats:
             return np.zeros((0,), np.float32)
-        images = np.stack([pad_sim_matrix(s, self.resolution) for s in sim_mats])
-        probs = np.zeros(len(images), np.float32)
-        for start in range(0, len(images), self.batch):
-            block = images[start : start + self.batch]
-            valid = len(block)
-            if valid < self.batch:
-                block = np.concatenate(
-                    [block, np.zeros((self.batch - valid,) + block.shape[1:], block.dtype)]
-                )
+        n = len(sim_mats)
+        probs = np.zeros(n, np.float32)
+        # Pad per device batch, never the whole candidate set at once — the
+        # recall stage can emit hundreds of thousands of pairs and a full
+        # [N, 160, 160, 3] stack would be hundreds of GB.
+        for start in range(0, n, self.batch):
+            chunk = sim_mats[start : start + self.batch]
+            valid = len(chunk)
+            block = np.zeros(
+                (self.batch, self.resolution, self.resolution, 3), np.float32
+            )
+            for j, s in enumerate(chunk):
+                block[j] = pad_sim_matrix(s, self.resolution)
             x = jnp.asarray(block)
             preds = [np.asarray(fn(variables, x))[:valid] for fn, variables in self._fns]
             probs[start : start + valid] = sum(preds) / len(preds)
@@ -162,11 +166,25 @@ def matching_inference(
     classify: ClassifyEnsemble,
     refine: RefineEnsemble,
     cls_threshold: float = MATCH_CLS_THRESHOLD,
+    cls_keep_fraction: float = None,
+    max_candidates: int = None,
     mesh=None,
 ) -> List[List]:
     """Stages 3-6. Returns match rows
-    [query_id, ref_id, query_start, query_end, ref_start, ref_end, score]."""
+    [query_id, ref_id, query_start, query_end, ref_start, ref_end, score].
+
+    `cls_keep_fraction` (optional) additionally keeps only the top fraction
+    of candidate pairs by classify probability — useful when driving the
+    pipeline with an untrained filter (benchmarks), where the probability
+    threshold alone has no selectivity; the reference's trained filter
+    removes ~95% of recalls (matching PDF §2.2).
+    """
     candidates = recall_candidates(sn_queries, sn_refs, mesh=mesh)
+    if max_candidates is not None:
+        # recall_candidates returns pairs sorted by descending max-frame
+        # score; a budget here mirrors sscd_baseline's 25/query truncation
+        # for corpora whose score distribution differs from production.
+        candidates = candidates[:max_candidates]
 
     queries_n = [dataclasses.replace(v, feature=_l2(v.feature)) for v in queries]
     refs_n = [dataclasses.replace(v, feature=_l2(v.feature)) for v in refs]
@@ -181,6 +199,9 @@ def matching_inference(
         key = (qid, rid)
         best_prob[key] = max(best_prob.get(key, 0.0), float(p))
     selected = [(q, r, p) for (q, r), p in best_prob.items() if p > cls_threshold]
+    if cls_keep_fraction is not None and selected:
+        keep_n = max(1, int(cls_keep_fraction * len(best_prob)))
+        selected = sorted(selected, key=lambda t: -t[2])[:keep_n]
 
     # Stage 5: SAM refinement.
     meta = [

@@ -196,3 +196,13 @@ def load_reference_sscd():
     return load_vendored(
         "train/train_v68/vsc/baseline/model_factory/backbones/sscd.py"
     ).SSCDModel
+
+
+def load_reference_clip():
+    """The vendored OpenAI-CLIP visual tower (train_vid_score copy).
+
+    `CLIPModel` (clip.py:85-163) uses only torch + mmcv.runner.load_checkpoint
+    (shimmed) + yaml (present); proj is None so forward returns all tokens
+    post-ln_post — the exact contract our CLIPVisual mirrors.
+    """
+    return load_vendored("train/train_vid_score/video/clip.py").CLIPModel

@@ -20,7 +20,11 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from ref_torch_loader import load_reference_sscd, load_reference_swinv2  # noqa: E402
+from ref_torch_loader import (  # noqa: E402
+    load_reference_clip,
+    load_reference_sscd,
+    load_reference_swinv2,
+)
 
 
 def _to_flax_input(x_torch: torch.Tensor) -> np.ndarray:
@@ -110,6 +114,76 @@ def test_vit_sscd_full_model_parity():
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, atol=1e-3, rtol=1e-3)
+
+
+def _clip_parity_case(ref_kwargs, cfg, batch, atol):
+    """Shared body: vendored reference tower vs ported CLIPVisual."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsc22_tpu.models.clip import CLIPVisual
+    from vsc22_tpu.utils.port_weights import port_clip_torch_state_dict
+
+    RefCLIP = load_reference_clip()
+    torch.manual_seed(7)
+    ref = RefCLIP(**ref_kwargs).eval()
+
+    x = torch.randn(batch, 3, cfg.img_size, cfg.img_size)
+    with torch.no_grad():
+        ref_out = ref(x).numpy()  # [B, 1+P, width] — all tokens post-ln_post
+
+    model = CLIPVisual(cfg=cfg, dtype=jnp.float32)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+        )
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = port_clip_torch_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, template
+    )
+    out = np.asarray(model.apply(params, jnp.asarray(_to_flax_input(x))))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=atol, rtol=atol)
+    # The pipeline consumes the CLS token (extract_query_feats.py:160-167).
+    np.testing.assert_allclose(out[:, 0], ref_out[:, 0], atol=atol, rtol=atol)
+
+
+def test_clip_tiny_parity():
+    """Fast CLIP parity on the tiny config (runs in the default suite)."""
+    from vsc22_tpu.models.clip import CLIP_TINY_TEST
+
+    _clip_parity_case(
+        dict(
+            input_resolution=32, patch_size=8, width=32, layers=2, heads=2,
+            output_dim=32, pretrained=None,
+        ),
+        CLIP_TINY_TEST,
+        batch=3,
+        atol=1e-5,
+    )
+
+
+@pytest.mark.slow
+def test_clip_vit_l14_full_model_parity():
+    """Full CLIP ViT-L/14 @224 parity — the frozen VED feature tower.
+
+    CLIP is never fine-tuned in the reference (extract_feat.py:82 loads it
+    frozen), so this parity proves the VED branch runs at reference accuracy
+    from reference checkpoints.
+    """
+    from vsc22_tpu.models.clip import CLIP_VIT_L14
+
+    _clip_parity_case(
+        dict(
+            input_resolution=224, patch_size=14, width=1024, layers=24,
+            heads=16, output_dim=768, pretrained=None,
+        ),
+        CLIP_VIT_L14,
+        batch=2,
+        atol=1e-3,
+    )
 
 
 def test_vit_port_accepts_ddp_prefixes():

@@ -36,7 +36,10 @@ CLIP_VIT_L14 = CLIPVisualConfig()
 CLIP_TINY_TEST = CLIPVisualConfig(img_size=32, patch_size=8, width=32, layers=2, heads=2)
 
 
-def _ln(x, scale, bias, dtype, eps=1e-6):
+_CLIP_LN_EPS = 1e-5  # torch nn.LayerNorm default — what CLIP ckpts trained with
+
+
+def _ln(x, scale, bias, dtype, eps=_CLIP_LN_EPS):
     """LayerNorm with f32 statistics (flax nn.LayerNorm semantics)."""
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
@@ -90,6 +93,7 @@ class CLIPBlock(nn.Module):
                 w2.astype(dt), b2.astype(jnp.float32),
                 self.heads,
                 "quick_gelu",
+                _CLIP_LN_EPS,
             )
 
         # Per-op fused path: LN + unpadded QKV/proj/MLP GEMMs, packed-K
@@ -164,10 +168,10 @@ class CLIPVisual(nn.Module):
             (cfg.num_tokens, cfg.width),
         )
         x = x + pos.astype(self.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=_CLIP_LN_EPS, dtype=self.dtype, name="ln_pre")(x)
         for i in range(cfg.layers):
             x = CLIPBlock(cfg.heads, dtype=self.dtype, name=f"block{i}")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="ln_post")(x)
+        return nn.LayerNorm(epsilon=_CLIP_LN_EPS, dtype=self.dtype, name="ln_post")(x)
 
 
 def clip_vit_l14(dtype=jnp.bfloat16) -> CLIPVisual:

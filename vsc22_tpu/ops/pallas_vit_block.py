@@ -47,11 +47,11 @@ def _quick_gelu(x):
 _ACTS = {"gelu": _gelu_exact, "quick_gelu": _quick_gelu}
 
 
-def _ln_rows_f32(x, scale, bias):
+def _ln_rows_f32(x, scale, bias, eps=_LN_EPS):
     """LayerNorm over the last axis; x [L, C] f32."""
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def _make_kernel(num_heads: int, head_dim: int, group: int, valid: int,
@@ -83,6 +83,7 @@ def _make_kernel(num_heads: int, head_dim: int, group: int, valid: int,
             x.astype(jnp.float32),
             ln1_s_ref[0].astype(jnp.float32),
             ln1_b_ref[0].astype(jnp.float32),
+            eps,
         ).astype(x.dtype)
 
         scale = head_dim ** -0.5
@@ -145,6 +146,7 @@ def _make_kernel(num_heads: int, head_dim: int, group: int, valid: int,
             x1.astype(jnp.float32),
             ln2_s_ref[0].astype(jnp.float32),
             ln2_b_ref[0].astype(jnp.float32),
+            eps,
         ).astype(x.dtype)
         hidden = jax.lax.dot_general(
             ln2, fc1_w_ref[:], (((1,), (0,)), ((), ())),
@@ -169,7 +171,7 @@ def _vmem_estimate(lp: int, c: int, f: int, itemsize: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "activation", "interpret")
+    jax.jit, static_argnames=("num_heads", "activation", "interpret", "eps")
 )
 def vit_block_fused(
     x: jax.Array,  # [B, L, C]
@@ -183,6 +185,7 @@ def vit_block_fused(
     num_heads: int,
     activation: str = "gelu",
     interpret: bool = False,
+    eps: float = _LN_EPS,
 ) -> jax.Array:
     b, l, c = x.shape
     hd = c // num_heads
@@ -210,7 +213,7 @@ def vit_block_fused(
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
 
     out = pl.pallas_call(
-        _make_kernel(num_heads, hd, group, l, activation, _LN_EPS),
+        _make_kernel(num_heads, hd, group, l, activation, eps),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0)),
@@ -254,13 +257,14 @@ def vit_block_fused(
 
 def vit_block_reference(
     x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
-    fc1_w, fc1_b, fc2_w, fc2_b, num_heads, activation="gelu",
+    fc1_w, fc1_b, fc2_w, fc2_b, num_heads, activation="gelu", eps=_LN_EPS,
 ):
     """XLA twin with identical semantics (CPU path, VJP recompute)."""
     b, l, c = x.shape
     hd = c // num_heads
     ln1 = _ln_rows_f32(
-        x.astype(jnp.float32), ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32)
+        x.astype(jnp.float32), ln1_s.astype(jnp.float32), ln1_b.astype(jnp.float32),
+        eps,
     ).astype(x.dtype)
     qkv = jnp.dot(ln1, qkv_w, preferred_element_type=jnp.float32) + qkv_b
     qkv = qkv.reshape(b, l, 3, num_heads, hd)
@@ -274,7 +278,8 @@ def vit_block_reference(
     proj = jnp.dot(attn, proj_w, preferred_element_type=jnp.float32) + proj_b
     x1 = (x.astype(jnp.float32) + proj).astype(x.dtype)
     ln2 = _ln_rows_f32(
-        x1.astype(jnp.float32), ln2_s.astype(jnp.float32), ln2_b.astype(jnp.float32)
+        x1.astype(jnp.float32), ln2_s.astype(jnp.float32), ln2_b.astype(jnp.float32),
+        eps,
     ).astype(x.dtype)
     hidden = jnp.dot(ln2, fc1_w, preferred_element_type=jnp.float32) + fc1_b
     hidden = _ACTS[activation](hidden).astype(x.dtype)
@@ -282,10 +287,10 @@ def vit_block_reference(
     return (x1.astype(jnp.float32) + mlp).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
 def vit_block(
     x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
-    fc1_w, fc1_b, fc2_w, fc2_b, num_heads, activation="gelu",
+    fc1_w, fc1_b, fc2_w, fc2_b, num_heads, activation="gelu", eps=_LN_EPS,
 ):
     """One pre-LN transformer block; Pallas-fused on TPU, XLA elsewhere."""
     args = (x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
@@ -299,20 +304,22 @@ def vit_block(
         and f % 128 == 0
         and _vmem_estimate(lp, c, f, x.dtype.itemsize) < 80 * 2**20
     ):
-        return vit_block_fused(*args, num_heads=num_heads, activation=activation)
-    return vit_block_reference(*args, num_heads, activation)
+        return vit_block_fused(
+            *args, num_heads=num_heads, activation=activation, eps=eps
+        )
+    return vit_block_reference(*args, num_heads, activation, eps)
 
 
 def _fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
-         fc1_w, fc1_b, fc2_w, fc2_b, num_heads, activation):
+         fc1_w, fc1_b, fc2_w, fc2_b, num_heads, activation, eps):
     args = (x, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
             fc1_w, fc1_b, fc2_w, fc2_b)
-    return vit_block(*args, num_heads, activation), args
+    return vit_block(*args, num_heads, activation, eps), args
 
 
-def _bwd(num_heads, activation, residuals, g):
+def _bwd(num_heads, activation, eps, residuals, g):
     _, vjp = jax.vjp(
-        lambda *a: vit_block_reference(*a, num_heads, activation), *residuals
+        lambda *a: vit_block_reference(*a, num_heads, activation, eps), *residuals
     )
     return vjp(g)
 

@@ -176,6 +176,73 @@ def port_vit_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_templ
     return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
+def port_clip_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_template) -> Dict:
+    """Fill CLIPVisual params from an OpenAI-CLIP visual-tower state_dict.
+
+    Key names follow the reference's vendored tower
+    (D1/train/train_vid_score/video/clip.py:85-163), which is the OpenAI
+    layout: ``conv1.weight`` (no bias), ``class_embedding``,
+    ``positional_embedding``, ``ln_pre``/``ln_post``, and per block
+    ``transformer.resblocks.{i}.{ln_1,ln_2,attn.in_proj_*,attn.out_proj,
+    mlp.c_fc,mlp.c_proj}``. A leading ``visual.`` prefix (full CLIP
+    checkpoints) is stripped automatically — the reference does the same via
+    ``revise_keys=[(r'^visual\\.', '')]`` (clip.py:135). The frozen ``proj``
+    matrix, text tower, and logit scale are ignored: the reference sets
+    ``proj=None`` (clip.py:117) and consumes all tokens post-``ln_post``.
+
+    torch ``nn.MultiheadAttention`` packs Q/K/V row-wise in
+    ``in_proj_weight`` [3C, C]; transposed it becomes the fused [C, 3C]
+    qkv kernel with the same q|k|v column order our blocks index.
+    """
+    import flax
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("visual."):
+            k = k[len("visual."):]
+        sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    flat = flax.traverse_util.flatten_dict(params_template["params"])
+    out = dict(flat)
+
+    def put(key, value):
+        if key not in out:
+            raise KeyError(f"template missing {key}")
+        if out[key].shape != value.shape:
+            raise ValueError(f"{key}: torch {value.shape} != template {out[key].shape}")
+        out[key] = value.astype(np.asarray(out[key]).dtype)
+
+    def linear(dst, src):
+        put(dst + ("kernel",), sd[f"{src}.weight"].T)
+        if f"{src}.bias" in sd:
+            put(dst + ("bias",), sd[f"{src}.bias"])
+
+    def norm(dst, src):
+        put(dst + ("scale",), sd[f"{src}.weight"])
+        put(dst + ("bias",), sd[f"{src}.bias"])
+
+    put(("conv1", "kernel"), sd["conv1.weight"].transpose(2, 3, 1, 0))
+    put(("class_embedding",), sd["class_embedding"])
+    put(("positional_embedding",), sd["positional_embedding"])
+    norm(("ln_pre",), "ln_pre")
+
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        t = f"transformer.resblocks.{i}"
+        blk = (f"block{i}",)
+        norm(blk + ("ln_1",), f"{t}.ln_1")
+        norm(blk + ("ln_2",), f"{t}.ln_2")
+        put(blk + ("attn", "qkv", "kernel"), sd[f"{t}.attn.in_proj_weight"].T)
+        put(blk + ("attn", "qkv", "bias"), sd[f"{t}.attn.in_proj_bias"])
+        linear(blk + ("attn", "proj"), f"{t}.attn.out_proj")
+        linear(blk + ("c_fc",), f"{t}.mlp.c_fc")
+        linear(blk + ("c_proj",), f"{t}.mlp.c_proj")
+        i += 1
+
+    norm(("ln_post",), "ln_post")
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
 def port_swinv2_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_template) -> Dict:
     """Fill SwinTransformerV2 params from a torch SwinV2 state_dict.
 

@@ -186,6 +186,178 @@ def test_clip_vit_l14_full_model_parity():
     )
 
 
+def _vsm_parity_case(cfg, twin_kwargs, batch, atol):
+    """Shared body: MS twin (real transformers BertModel) vs ported VSM."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsc22_tpu.models.vsm import VideoScoreModel
+    from vsc22_tpu.utils.port_weights import port_vsm_torch_state_dict
+    from ref_torch_loader import TorchMS
+
+    pytest.importorskip("transformers")
+    torch.manual_seed(11)
+    ref = TorchMS(**twin_kwargs).eval()
+
+    # CLIP-feature-like inputs with zero-padded tails (the mask convention
+    # under test: masks = feats.abs().sum(2) > 0, model.py:81).
+    feats = torch.randn(batch, cfg.max_frames, cfg.feat_dim)
+    feats[0, cfg.max_frames // 2:] = 0.0
+    feats[-1, 3:] = 0.0
+    with torch.no_grad():
+        ref_out = ref(feats).numpy()
+
+    model = VideoScoreModel(cfg=cfg, dtype=jnp.float32)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.max_frames, cfg.feat_dim))
+        )
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    params = port_vsm_torch_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, template
+    )
+    out = np.asarray(model.apply(params, jnp.asarray(feats.numpy())))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=atol, rtol=atol)
+
+
+def test_vsm_tiny_parity():
+    from vsc22_tpu.models.vsm import VSM_TINY_TEST
+
+    _vsm_parity_case(
+        VSM_TINY_TEST,
+        dict(feat_dim=16, bert_dim=32, layers=2, heads=2, max_frames=8,
+             vocab_size=256),
+        batch=3,
+        atol=1e-5,
+    )
+
+
+@pytest.mark.slow
+def test_vsm_base_full_model_parity():
+    """Full video-score model parity: BERT-base encoder (the
+    chinese-roberta-wwm-ext shape, model.py:73) over 256 CLIP frames."""
+    from vsc22_tpu.models.vsm import VSM_BASE
+
+    _vsm_parity_case(
+        VSM_BASE,
+        dict(feat_dim=1024, bert_dim=768, layers=12, heads=12, max_frames=256,
+             vocab_size=1000),
+        batch=2,
+        atol=1e-3,
+    )
+
+
+def test_mobilenetv3_full_model_parity():
+    """Matching-track ClassifyModel parity: timm-keyed MobileNetV3-Small
+    twin (random init + randomized BN stats) vs the ported Flax model at
+    the pipeline's 160x160 input (M1/train/dataset.py:6-41)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsc22_tpu.models.mobilenetv3 import MNV3_SMALL_SPEC, MobileNetV3Small
+    from vsc22_tpu.utils.port_weights import port_mnv3_torch_state_dict
+    from ref_torch_loader import TorchMobileNetV3Small, randomize_bn_stats
+
+    torch.manual_seed(3)
+    ref = TorchMobileNetV3Small(MNV3_SMALL_SPEC, num_classes=2)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.ndim >= 2:
+                p.normal_(0, 0.05)
+    randomize_bn_stats(ref, seed=4)
+    ref = ref.eval()
+    n_params = sum(p.numel() for p in ref.parameters())
+    assert 1.4e6 < n_params < 1.7e6  # timm mobilenetv3_small_100 @ 2 classes
+
+    x = torch.randn(2, 3, 160, 160)
+    with torch.no_grad():
+        ref_out = ref(x).numpy()
+
+    model = MobileNetV3Small(num_classes=2, dtype=jnp.float32)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)))
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    variables = port_mnv3_torch_state_dict(ref.state_dict(), template)
+    out = np.asarray(model.apply(variables, jnp.asarray(_to_flax_input(x))))
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=1e-3, rtol=1e-3)
+
+
+def _hrnet_parity_case(flax_model, twin_kwargs, size, atol, out_chann):
+    """Shared body: timm-keyed SAM HRNet twin vs the ported Flax model."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsc22_tpu.utils.port_weights import port_hrnet_torch_state_dict
+    from ref_torch_loader import TorchSAMHRNet, randomize_bn_stats
+
+    torch.manual_seed(7)
+    ref = TorchSAMHRNet(out_chann=out_chann, **twin_kwargs)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.ndim >= 2:
+                p.normal_(0, 0.05)
+    randomize_bn_stats(ref, seed=8)
+    ref = ref.eval()
+
+    x = torch.randn(2, 3, size, size)
+    with torch.no_grad():
+        ref_out = ref(x).numpy()
+
+    template = jax.eval_shape(
+        lambda: flax_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), train=False
+        )
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    variables = port_hrnet_torch_state_dict(ref.state_dict(), template)
+    out = np.asarray(
+        flax_model.apply(variables, jnp.asarray(_to_flax_input(x)), train=False)
+    )
+
+    ref_out = ref_out.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=atol, rtol=atol)
+
+
+def test_hrnet_tiny_parity():
+    import jax.numpy as jnp
+
+    from vsc22_tpu.models.hrnet import sam_hrnet_tiny_test
+
+    _hrnet_parity_case(
+        sam_hrnet_tiny_test(dtype=jnp.float32),
+        dict(width=4, stem_ch=8, layer1_blocks=1, stage_modules=(1, 1, 1),
+             blocks_per_branch=1),
+        size=32,
+        atol=1e-4,
+        out_chann=8,
+    )
+
+
+@pytest.mark.slow
+def test_hrnet_w18_full_model_parity():
+    """Full SAM parity: HRNet-W18 (timm `hrnet_w18` topology, stem strides
+    1 per M1/train/models.py:25-26) + 334->64->2 fuse head at 64x64."""
+    import jax.numpy as jnp
+
+    from vsc22_tpu.models.hrnet import sam_hrnet_w18
+
+    _hrnet_parity_case(
+        sam_hrnet_w18(dtype=jnp.float32),
+        dict(width=18, stem_ch=64, layer1_blocks=4, stage_modules=(1, 4, 3),
+             blocks_per_branch=4),
+        size=64,
+        atol=1e-3,
+        out_chann=64,
+    )
+
+
 def test_vit_port_accepts_ddp_prefixes():
     """Reference checkpoints carry module.backbone.model. prefixes; the port
     must strip them (torch2scripts.py:679 strips module.backbone.)."""

@@ -50,11 +50,16 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Explicit symmetric padding = torch Conv2d(padding=(k-1)//2), the
+        # convention every timm HRNet conv uses. Identical to SAME at
+        # stride 1, but SAME pads asymmetrically for stride 2 on even
+        # inputs — the distinction matters for timm checkpoint parity.
+        pad = (self.kernel - 1) // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=False,
             dtype=self.dtype,
         )(x)
@@ -155,8 +160,10 @@ class HRNetFeatures(nn.Module):
         cfg = self.cfg
         s = cfg.stem_stride
         x = ConvBN(cfg.stem_channels, 3, stride=s, dtype=self.dtype, name="stem1")(x, train)
-        x = ConvBN(cfg.stem_channels, 3, stride=s, dtype=self.dtype, name="stem2")(x, train)
+        # timm features_only taps feature 0 after conv1/bn1/act1, BEFORE
+        # conv2 (hrnet.py HighResolutionNetFeatures.forward).
         stem_out = x
+        x = ConvBN(cfg.stem_channels, 3, stride=s, dtype=self.dtype, name="stem2")(x, train)
 
         for b in range(cfg.layer1_blocks):
             x = Bottleneck(cfg.stem_channels, dtype=self.dtype, name=f"layer1_{b}")(x, train)

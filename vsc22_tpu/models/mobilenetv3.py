@@ -24,27 +24,24 @@ def hard_swish(x):
     return x * hard_sigmoid(x)
 
 
-# (kernel, expansion, out_channels, use_se, use_hswish, stride)
-MNV3_SMALL_SPEC: Tuple[Tuple[int, int, int, bool, bool, int], ...] = (
-    (3, 16, 16, True, False, 2),
-    (3, 72, 24, False, False, 2),
-    (3, 88, 24, False, False, 1),
-    (5, 96, 40, True, True, 2),
-    (5, 240, 40, True, True, 1),
-    (5, 240, 40, True, True, 1),
-    (5, 120, 48, True, True, 1),
-    (5, 144, 48, True, True, 1),
-    (5, 288, 96, True, True, 2),
-    (5, 576, 96, True, True, 1),
-    (5, 576, 96, True, True, 1),
+# (kernel, expansion, out_channels, se_reduce_ch, use_hswish, stride)
+# se_reduce_ch = round_channels(expanded_chs * 0.25), divisor 8, round-limit
+# 0.9 — the paper's "1/4 of the expansion layer channels" rule as timm and
+# torchvision round it. 0 = no SE. Explicit values (timm
+# `mobilenetv3_small_100`) because weight porting requires exact widths.
+MNV3_SMALL_SPEC: Tuple[Tuple[int, int, int, int, bool, int], ...] = (
+    (3, 16, 16, 8, False, 2),
+    (3, 72, 24, 0, False, 2),
+    (3, 88, 24, 0, False, 1),
+    (5, 96, 40, 24, True, 2),
+    (5, 240, 40, 64, True, 1),
+    (5, 240, 40, 64, True, 1),
+    (5, 120, 48, 32, True, 1),
+    (5, 144, 48, 40, True, 1),
+    (5, 288, 96, 72, True, 2),
+    (5, 576, 96, 144, True, 1),
+    (5, 576, 96, 144, True, 1),
 )
-
-
-def _make_divisible(v: int, divisor: int = 8) -> int:
-    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
-    if new_v < 0.9 * v:
-        new_v += divisor
-    return new_v
 
 
 class SqueezeExcite(nn.Module):
@@ -71,11 +68,16 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Explicit symmetric padding = torch Conv2d(padding=((s-1)+(k-1))//2),
+        # timm's static pad. Identical to SAME for stride 1 / odd kernels but
+        # NOT for stride 2 on even inputs (SAME pads asymmetrically) — the
+        # distinction matters for bit-parity with timm checkpoints.
+        pad = ((self.stride - 1) + (self.kernel - 1)) // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
@@ -92,7 +94,7 @@ class InvertedResidual(nn.Module):
     kernel: int
     expansion: int
     out_ch: int
-    use_se: bool
+    se_reduce: int  # SE bottleneck channels; 0 disables SE
     use_hswish: bool
     stride: int
     dtype: jnp.dtype = jnp.float32
@@ -113,8 +115,8 @@ class InvertedResidual(nn.Module):
             dtype=self.dtype,
             name="dw",
         )(y, train)
-        if self.use_se:
-            y = SqueezeExcite(_make_divisible(self.expansion // 4), dtype=self.dtype, name="se")(y)
+        if self.se_reduce:
+            y = SqueezeExcite(self.se_reduce, dtype=self.dtype, name="se")(y)
         y = ConvBNAct(self.out_ch, 1, act=None, dtype=self.dtype, name="project")(y, train)
         if self.stride == 1 and in_ch == self.out_ch:
             y = x + y

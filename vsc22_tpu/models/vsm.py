@@ -8,11 +8,13 @@ Parity target (reference, for cross-checking — original implementation):
   Linear -> 1 logit. Frames whose feature rows are all-zero (padding) are
   attention-masked out.
 
-  The reference reuses chinese-roberta-wwm-ext weights for the encoder; this
-  framework trains from scratch, so the [CLS]/[SEP] vectors are learned
-  parameters directly instead of word-embedding rows 101/102, and the
-  encoder is a standard post-LN BERT-base stack (12 layers, 768 wide, 12
-  heads, GELU) with learned positional embeddings.
+  The encoder is an exact BERT-base stack (12 post-LN layers, 768 wide, 12
+  heads, erf-GELU, LN eps 1e-12) so chinese-roberta-wwm-ext weights port
+  verbatim (utils.port_weights.port_vsm_torch_state_dict): the [CLS]/[SEP]
+  vectors are learned parameters that the port fills from word-embedding
+  rows 101/102, and the token-type-0 embedding is folded into the position
+  table (every token is type 0). From-scratch training also works — the
+  params are plain Flax initializers.
 """
 
 from __future__ import annotations
@@ -53,12 +55,12 @@ class PostLNBlock(nn.Module):
         y = MultiHeadAttention(
             self.heads, dtype=self.dtype, proj_drop=self.dropout, name="attn"
         )(x, deterministic, attn_bias=mask_bias)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_attn")(x + y)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln_attn")(x + y)
         y = nn.Dense(4 * c, dtype=self.dtype, name="fc1")(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="ln_mlp")(x + y)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln_mlp")(x + y)
 
 
 class VideoScoreModel(nn.Module):
@@ -80,7 +82,7 @@ class VideoScoreModel(nn.Module):
         vision = nn.Dense(cfg.hidden, dtype=self.dtype, name="frame_proj")(
             feats.astype(self.dtype)
         )
-        vision = nn.LayerNorm(dtype=self.dtype, name="frame_norm")(vision)
+        vision = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="frame_norm")(vision)
         frame_mask = (jnp.abs(feats).sum(axis=2) > 0).astype(jnp.float32)  # [B, N]
 
         cls = self.param("cls_emb", nn.initializers.normal(0.02), (cfg.hidden,))
@@ -100,7 +102,7 @@ class VideoScoreModel(nn.Module):
             "pos_embed", nn.initializers.normal(0.02), (cfg.max_frames + 2, cfg.hidden)
         )
         tokens = tokens + pos[: n + 2].astype(self.dtype)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="emb_norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="emb_norm")(tokens)
         tokens = nn.Dropout(cfg.dropout)(tokens, deterministic=deterministic)
 
         # Additive attention bias: -1e4 on masked keys.

@@ -243,6 +243,277 @@ def port_clip_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_temp
     return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
+def port_vsm_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_template) -> Dict:
+    """Fill VideoScoreModel params from the reference MS state_dict.
+
+    The reference video-score model (D1/train/train_vid_score/video/
+    model.py:63-103) wraps a HF BERT encoder (chinese-roberta-wwm-ext —
+    a BertModel). Key conventions handled here:
+
+      - ``frame_proj.0`` / ``frame_proj.1`` -> frame_proj Dense + frame_norm;
+      - ``bert.embeddings.word_embeddings`` rows 101/102 -> the learned
+        [CLS]/[SEP] vectors (model.py:29 hardcodes token ids [101, 102]);
+      - ``bert.embeddings.position_embeddings`` rows [0, max_frames+2) with
+        ``token_type_embeddings`` row 0 folded in (every token is type 0,
+        so the fold is exact) -> pos_embed;
+      - ``bert.encoder.layer.{i}.attention.self.{query,key,value}``
+        concatenated -> the fused qkv kernel;
+      - pooler weights are skipped (the reference consumes
+        last_hidden_state, model.py:94).
+
+    A leading ``module.`` (DDP) prefix is stripped automatically.
+    """
+    import flax
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    flat = flax.traverse_util.flatten_dict(params_template["params"])
+    out = dict(flat)
+
+    def put(key, value):
+        if key not in out:
+            raise KeyError(f"template missing {key}")
+        if out[key].shape != value.shape:
+            raise ValueError(f"{key}: torch {value.shape} != template {out[key].shape}")
+        out[key] = value.astype(np.asarray(out[key]).dtype)
+
+    def linear(dst, src):
+        put(dst + ("kernel",), sd[f"{src}.weight"].T)
+        put(dst + ("bias",), sd[f"{src}.bias"])
+
+    def norm(dst, src):
+        put(dst + ("scale",), sd[f"{src}.weight"])
+        put(dst + ("bias",), sd[f"{src}.bias"])
+
+    linear(("frame_proj",), "frame_proj.0")
+    norm(("frame_norm",), "frame_proj.1")
+
+    word = sd["bert.embeddings.word_embeddings.weight"]
+    put(("cls_emb",), word[101])
+    put(("sep_emb",), word[102])
+    n_pos = out[("pos_embed",)].shape[0]
+    pos = sd["bert.embeddings.position_embeddings.weight"][:n_pos]
+    tok0 = sd["bert.embeddings.token_type_embeddings.weight"][0]
+    put(("pos_embed",), pos + tok0[None, :])
+    norm(("emb_norm",), "bert.embeddings.LayerNorm")
+
+    i = 0
+    while f"bert.encoder.layer.{i}.attention.self.query.weight" in sd:
+        t = f"bert.encoder.layer.{i}"
+        blk = (f"layer{i}",)
+        qkv_k = np.concatenate(
+            [sd[f"{t}.attention.self.{n}.weight"].T for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [sd[f"{t}.attention.self.{n}.bias"] for n in ("query", "key", "value")]
+        )
+        put(blk + ("attn", "qkv", "kernel"), qkv_k)
+        put(blk + ("attn", "qkv", "bias"), qkv_b)
+        linear(blk + ("attn", "proj"), f"{t}.attention.output.dense")
+        norm(blk + ("ln_attn",), f"{t}.attention.output.LayerNorm")
+        linear(blk + ("fc1",), f"{t}.intermediate.dense")
+        linear(blk + ("fc2",), f"{t}.output.dense")
+        norm(blk + ("ln_mlp",), f"{t}.output.LayerNorm")
+        i += 1
+
+    linear(("output_proj",), "output_proj")
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def _bn_port_helpers(state_dict, variables_template):
+    """Shared plumbing for BatchNorm-bearing CNN ports (MNV3/HRNet).
+
+    Returns (sd, out, put, conv, bn, finish): a numpy-ified state dict, a
+    flat {collection: {path: array}} template copy, writers for conv kernels
+    (OIHW -> HWIO) and BN (weight/bias -> params, running stats ->
+    batch_stats), and a finalizer that re-nests the collections.
+    """
+    import flax
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    out = {
+        coll: dict(flax.traverse_util.flatten_dict(tree))
+        for coll, tree in variables_template.items()
+    }
+
+    def put(coll, key, value):
+        dst = out[coll]
+        if key not in dst:
+            raise KeyError(f"template[{coll}] missing {key}")
+        if dst[key].shape != value.shape:
+            raise ValueError(
+                f"{coll}/{key}: torch {value.shape} != template {dst[key].shape}"
+            )
+        dst[key] = value.astype(np.asarray(dst[key]).dtype)
+
+    def conv(dst, src, dense=False):
+        w = sd[f"{src}.weight"]
+        if dense:  # 1x1 conv consumed as a Dense layer
+            put("params", dst + ("kernel",), w[:, :, 0, 0].T)
+        else:
+            put("params", dst + ("kernel",), w.transpose(2, 3, 1, 0))
+        if f"{src}.bias" in sd:
+            put("params", dst + ("bias",), sd[f"{src}.bias"])
+
+    def bn(dst, src):
+        put("params", dst + ("scale",), sd[f"{src}.weight"])
+        put("params", dst + ("bias",), sd[f"{src}.bias"])
+        put("batch_stats", dst + ("mean",), sd[f"{src}.running_mean"])
+        put("batch_stats", dst + ("var",), sd[f"{src}.running_var"])
+
+    def finish():
+        return {
+            coll: flax.traverse_util.unflatten_dict(flat)
+            for coll, flat in out.items()
+        }
+
+    return sd, out, put, conv, bn, finish
+
+
+def port_hrnet_torch_state_dict(state_dict: Mapping[str, np.ndarray], variables_template) -> Dict:
+    """Fill SAMHRNet variables from a timm `hrnet_w18` state_dict or the
+    M1 SAM wrapper checkpoint (M1/train/models.py:20-48).
+
+    Accepted key layouts:
+      - raw timm hrnet keys (conv1/bn1, conv2/bn2, layer1.{b}.*,
+        transition{1,2,3}.*, stage{2,3,4}.{m}.{branches,fuse_layers}.*) —
+        fills the backbone, leaves the fuse head at its template init
+        (the reference fine-tunes a fresh head on ImageNet weights);
+      - the wrapper layout with a `model.` backbone prefix plus
+        `fuse.0`/`fuse.2` head convs — fills everything.
+
+    Stage/module/branch counts are discovered by key probing, so tiny test
+    configs port through the same code path as full W18. Returns
+    {params, batch_stats}.
+    """
+    sd, out, put, conv, bn, finish = _bn_port_helpers(state_dict, variables_template)
+
+    for k in list(sd):
+        if k.startswith("model."):
+            sd[k[len("model."):]] = sd.pop(k)
+
+    def cbn(dst, conv_src, bn_src):
+        conv(dst + ("Conv_0",), conv_src)
+        bn(dst + ("BatchNorm_0",), bn_src)
+
+    B = ("backbone",)
+    cbn(B + ("stem1",), "conv1", "bn1")
+    cbn(B + ("stem2",), "conv2", "bn2")
+
+    b = 0
+    while f"layer1.{b}.conv1.weight" in sd:
+        t, blk = f"layer1.{b}", B + (f"layer1_{b}",)
+        for n in (1, 2, 3):
+            cbn(blk + (f"conv{n}",), f"{t}.conv{n}", f"{t}.bn{n}")
+        if f"{t}.downsample.0.weight" in sd:
+            cbn(blk + ("downsample",), f"{t}.downsample.0", f"{t}.downsample.1")
+        b += 1
+
+    cbn(B + ("trans1_0",), "transition1.0.0", "transition1.0.1")
+    cbn(B + ("trans1_1",), "transition1.1.0.0", "transition1.1.0.1")
+    cbn(B + ("trans2",), "transition2.2.0.0", "transition2.2.0.1")
+    cbn(B + ("trans3",), "transition3.3.0.0", "transition3.3.0.1")
+
+    for s in (2, 3, 4):
+        m = 0
+        while f"stage{s}.{m}.branches.0.0.conv1.weight" in sd:
+            t, mod = f"stage{s}.{m}", B + (f"stage{s}_m{m}",)
+            i = 0
+            while f"{t}.branches.{i}.0.conv1.weight" in sd:
+                j = 0
+                while f"{t}.branches.{i}.{j}.conv1.weight" in sd:
+                    dst = mod + (f"branch{i}_block{j}",)
+                    src = f"{t}.branches.{i}.{j}"
+                    cbn(dst + ("conv1",), f"{src}.conv1", f"{src}.bn1")
+                    cbn(dst + ("conv2",), f"{src}.conv2", f"{src}.bn2")
+                    j += 1
+                i += 1
+            for fi in range(i):
+                for fj in range(i):
+                    if fj == fi:
+                        continue
+                    f = f"{t}.fuse_layers.{fi}.{fj}"
+                    if fj > fi:
+                        cbn(mod + (f"fuse{fi}_{fj}",), f"{f}.0", f"{f}.1")
+                    else:
+                        for k in range(fi - fj):
+                            cbn(
+                                mod + (f"fuse{fi}_{fj}_step{k}",),
+                                f"{f}.{k}.0",
+                                f"{f}.{k}.1",
+                            )
+            m += 1
+
+    if "fuse.0.weight" in sd:
+        conv(("fuse1",), "fuse.0")
+        conv(("fuse2",), "fuse.2")
+    return finish()
+
+
+def port_mnv3_torch_state_dict(state_dict: Mapping[str, np.ndarray], variables_template) -> Dict:
+    """Fill MobileNetV3Small variables from a timm `mobilenetv3_small_100`
+    state_dict (the matching-track ClassifyModel backbone,
+    M1/train/models.py:6-16).
+
+    timm's flat block indices map onto stages [1, 2, 3, 2, 3] + the 576-ch
+    ConvBnAct stage; blocks.0.0 is a DepthwiseSeparableConv (conv_dw/bn1 +
+    se + conv_pw/bn2), later blocks are InvertedResiduals (conv_pw/bn1 +
+    conv_dw/bn2 + [se] + conv_pwl/bn3). conv_head (applied post-pool) lands
+    on the pre_logits Dense. Returns {params, batch_stats}.
+    """
+    from vsc22_tpu.models.mobilenetv3 import MNV3_SMALL_SPEC
+
+    sd, out, put, conv, bn, finish = _bn_port_helpers(state_dict, variables_template)
+
+    def se(dst, src):
+        put("params", dst + ("fc1", "kernel"), sd[f"{src}.conv_reduce.weight"][:, :, 0, 0].T)
+        put("params", dst + ("fc1", "bias"), sd[f"{src}.conv_reduce.bias"])
+        put("params", dst + ("fc2", "kernel"), sd[f"{src}.conv_expand.weight"][:, :, 0, 0].T)
+        put("params", dst + ("fc2", "bias"), sd[f"{src}.conv_expand.bias"])
+
+    conv(("stem", "Conv_0"), "conv_stem")
+    bn(("stem", "BatchNorm_0"), "bn1")
+
+    stages = (1, 2, 3, 2, 3)
+    flat_idx = [(s, j) for s, n in enumerate(stages) for j in range(n)]
+    for i, ((s, j), row) in enumerate(zip(flat_idx, MNV3_SMALL_SPEC)):
+        t = f"blocks.{s}.{j}"
+        blk = (f"block{i}",)
+        _, _exp, _, se_rd, _, _ = row
+        if i == 0:  # DepthwiseSeparableConv
+            conv(blk + ("dw", "Conv_0"), f"{t}.conv_dw")
+            bn(blk + ("dw", "BatchNorm_0"), f"{t}.bn1")
+            se(blk + ("se",), f"{t}.se")
+            conv(blk + ("project", "Conv_0"), f"{t}.conv_pw")
+            bn(blk + ("project", "BatchNorm_0"), f"{t}.bn2")
+        else:
+            conv(blk + ("expand", "Conv_0"), f"{t}.conv_pw")
+            bn(blk + ("expand", "BatchNorm_0"), f"{t}.bn1")
+            conv(blk + ("dw", "Conv_0"), f"{t}.conv_dw")
+            bn(blk + ("dw", "BatchNorm_0"), f"{t}.bn2")
+            if se_rd:
+                se(blk + ("se",), f"{t}.se")
+            conv(blk + ("project", "Conv_0"), f"{t}.conv_pwl")
+            bn(blk + ("project", "BatchNorm_0"), f"{t}.bn3")
+
+    conv(("head_conv", "Conv_0"), "blocks.5.0.conv")
+    bn(("head_conv", "BatchNorm_0"), "blocks.5.0.bn1")
+    conv(("pre_logits",), "conv_head", dense=True)
+    put("params", ("classifier", "kernel"), sd["classifier.weight"].T)
+    put("params", ("classifier", "bias"), sd["classifier.bias"])
+    return finish()
+
+
 def port_swinv2_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_template) -> Dict:
     """Fill SwinTransformerV2 params from a torch SwinV2 state_dict.
 

@@ -1,5 +1,7 @@
 """Data layer: native record store, frame store, decode, augs, datasets."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -281,6 +283,47 @@ def _boom(index, count):
     if index == 1:
         raise ValueError("kaput")
     return index
+
+
+def _silent_death(index, count):
+    if index == 1:
+        import os
+
+        os._exit(3)  # dies without enqueueing a result or raising
+    return index
+
+
+def _hang(index, count):
+    if index == 1:
+        import time
+
+        time.sleep(60)
+    return index
+
+
+def test_launch_local_detects_silent_worker_death():
+    """A worker that exits nonzero without reporting must raise promptly
+    (the reference's join-with-exitcode contract, inference.py:111-120),
+    not wait for the timeout."""
+    from vsc22_tpu.parallel.launcher import launch_local
+
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="exit code 3"):
+        launch_local(_silent_death, 2, timeout=30.0)
+    assert time.monotonic() - t0 < 25.0
+
+
+def test_launch_local_global_deadline():
+    """timeout is one global deadline, not per-result: a hung worker
+    trips it once regardless of worker count."""
+    from vsc22_tpu.parallel.launcher import launch_local
+
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError, match="deadline"):
+        launch_local(_hang, 3, timeout=15.0)
+    # Per-result semantics would allow 3 x 15s; the global deadline fires
+    # once (plus spawn overhead on this 1-core host).
+    assert time.monotonic() - t0 < 35.0
 
 
 def test_concat_dataset(tmp_path):

@@ -38,6 +38,34 @@ def test_threshold_search_exact():
         assert abs(sims[row, col] - s) < 1e-5
 
 
+def test_threshold_search_dense_row_rescans_only_overflow():
+    """One dense row (near-duplicates of many refs) forces deep doubling;
+    sparse rows must resolve at the initial width and all hits stay exact.
+    Regression for the former full-[nq, k] array growth."""
+    rng = np.random.default_rng(7)
+    base = normed(rng.standard_normal((1, 16)).astype(np.float32))
+    r = normed(
+        np.concatenate(
+            [
+                base + 0.01 * rng.standard_normal((500, 16)),  # dense cluster
+                rng.standard_normal((300, 16)),
+            ]
+        ).astype(np.float32)
+    )
+    q = np.concatenate(
+        [base, normed(rng.standard_normal((9, 16)).astype(np.float32))]
+    ).astype(np.float32)
+    searcher = SimilaritySearcher(r)
+    rows, cols, scores = searcher.threshold_search(q, 0.9, k0=8)
+    sims = q @ r.T
+    expect = np.argwhere(sims > 0.9)
+    assert set(zip(rows.tolist(), cols.tolist())) == {
+        (int(a), int(b)) for a, b in expect
+    }
+    assert np.all(np.diff(rows) >= 0)  # grouped by row
+    np.testing.assert_allclose(scores, sims[rows, cols], atol=1e-5)
+
+
 def make_corpus():
     rng = np.random.default_rng(1)
     refs, queries = [], []

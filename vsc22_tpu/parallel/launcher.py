@@ -15,6 +15,8 @@ striding.
 from __future__ import annotations
 
 import multiprocessing as mp
+import queue as queue_mod
+import time
 import traceback
 from typing import Any, Callable, List, Optional, Sequence
 
@@ -36,7 +38,11 @@ def launch_local(
     """Run fn(process_index, process_count, *args) in N processes.
 
     Returns results ordered by process index. Any worker failure terminates
-    the rest and raises (the reference's join + exitcode + kill-all contract).
+    the rest and raises — matching the reference's join + exitcode +
+    kill-all contract (inference.py:111-120), which also catches workers
+    that die *without* raising (segfault, OOM-kill): a dead process with a
+    nonzero exitcode and no delivered result is reported as a crash.
+    `timeout` is a single global deadline for all workers, not per-result.
     """
     if num_processes == 1:
         return [fn(0, 1, *args)]
@@ -49,10 +55,25 @@ def launch_local(
     ]
     for p in procs:
         p.start()
+    deadline = None if timeout is None else time.monotonic() + timeout
     results: dict = {}
     try:
-        for _ in range(num_processes):
-            index, status, payload = queue.get(timeout=timeout)
+        while len(results) < num_processes:
+            try:
+                index, status, payload = queue.get(timeout=0.2)
+            except queue_mod.Empty:
+                if deadline is not None and time.monotonic() > deadline:
+                    missing = sorted(set(range(num_processes)) - set(results))
+                    raise TimeoutError(
+                        f"workers {missing} missed the {timeout}s deadline"
+                    )
+                for i, p in enumerate(procs):
+                    if i not in results and not p.is_alive() and p.exitcode:
+                        raise RuntimeError(
+                            f"worker {i} died with exit code {p.exitcode} "
+                            "without reporting a result"
+                        )
+                continue
             if status == "error":
                 raise RuntimeError(f"worker {index} failed:\n{payload}")
             results[index] = payload

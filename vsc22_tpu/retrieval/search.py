@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -478,23 +478,37 @@ class SimilaritySearcher:
         """
         nq = queries.shape[0]
         k = max(1, min(k0, self.num_refs))
-        scores, indices = self.row_topk(queries, k)
-        while k < self.num_refs:
-            overflow = scores[:, -1] > threshold
-            if not overflow.any():
-                break
+        active = np.arange(nq, dtype=np.int64)
+        rows_out: List[np.ndarray] = []
+        cols_out: List[np.ndarray] = []
+        scores_out: List[np.ndarray] = []
+        while active.size:
+            scores, indices = self.row_topk(queries[active], k)
+            # A row is resolved once its k-th hit falls below the threshold
+            # (or the scan reached the full corpus). Only overflow rows are
+            # rescanned at the doubled width — resolved rows emit their hits
+            # immediately, so peak memory is O(|overflow| * k), not O(nq * k).
+            if k >= self.num_refs:
+                overflow = np.zeros(active.size, bool)
+            else:
+                overflow = scores[:, -1] > threshold
+            done = ~overflow
+            if done.any():
+                s, idx = scores[done], indices[done]
+                hit = s > threshold
+                rows_out.append(np.repeat(active[done], hit.sum(axis=1)))
+                cols_out.append(idx[hit].astype(np.int64))
+                scores_out.append(s[hit])
+            active = active[overflow]
             k = min(self.num_refs, k * 2)
-            new_s, new_i = self.row_topk(queries[overflow], k)
-            grown_s = np.full((nq, k), NEG_INF, np.float32)
-            grown_i = np.zeros((nq, k), np.int32)
-            grown_s[:, : scores.shape[1]] = scores
-            grown_i[:, : indices.shape[1]] = indices
-            grown_s[overflow] = new_s
-            grown_i[overflow] = new_i
-            scores, indices = grown_s, grown_i
-        mask = scores > threshold
-        rows = np.repeat(np.arange(nq, dtype=np.int64), scores.shape[1]).reshape(nq, -1)
-        return rows[mask], indices[mask].astype(np.int64), scores[mask]
+        if not rows_out:
+            z = np.zeros((0,), np.int64)
+            return z, z, np.zeros((0,), np.float32)
+        rows = np.concatenate(rows_out)
+        cols = np.concatenate(cols_out)
+        s = np.concatenate(scores_out)
+        order = np.argsort(rows, kind="stable")
+        return rows[order], cols[order], s[order]
 
 
 def knn_search(

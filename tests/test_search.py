@@ -199,3 +199,36 @@ def test_fast_exact_matches_slow_path():
     sf, _ = fast.row_topk(queries, 50)
     ss, _ = slow.row_topk(queries, 50)
     assert_allclose(sf, ss, atol=2e-3)
+
+
+def test_sharded_fast_exact_scan_with_candidate_burst(cpu_mesh):
+    """The cheap-extraction scan on the SHARDED path: a candidate burst
+    inside one shard's tile must be flagged by the psum'd counting pass and
+    restored by the exact sharded rescan."""
+    from vsc22_tpu.retrieval.search import SimilaritySearcher
+
+    rng = np.random.default_rng(13)
+    d = 32
+    refs = rng.standard_normal((8192, d)).astype(np.float32)
+    refs /= np.linalg.norm(refs, axis=1, keepdims=True)
+    target = rng.standard_normal(d).astype(np.float32)
+    target /= np.linalg.norm(target)
+    burst = target[None, :] + rng.normal(0, 1e-3, (60, d)).astype(np.float32)
+    burst /= np.linalg.norm(burst, axis=1, keepdims=True)
+    refs[300:360] = burst  # inside shard 0 on an 8-way split
+
+    queries = np.concatenate(
+        [target[None, :], rng.standard_normal((7, d)).astype(np.float32)]
+    )
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    # shard_rows = 1024 on the 8-way mesh; ref_tile=128 -> 8 tiles/shard, so
+    # the fast-path gate e*tiles >= 2k holds at k=16 (4*8 = 32 >= 32) while
+    # the 60-dupe burst inside ONE tile still overflows e=4 -> truncation.
+    sharded = SimilaritySearcher(refs, mesh=cpu_mesh, ref_tile=128, extract_e=4)
+    k = 16
+    scores, idx = sharded.row_topk(queries, k)
+    brute = queries @ refs.T
+    expect = -np.sort(-brute, axis=1)[:, :k]
+    assert_allclose(scores, expect, atol=2e-3)
+    assert (np.sort(idx[0])[:k] >= 300).all() and (np.sort(idx[0])[:k] < 360).all()

@@ -44,13 +44,15 @@ def search(
     retrieve_per_query: float = 1200.0,
     candidates_per_query: float = 25.0,
     mesh=None,
-    transfer_dtype=None,
+    transfer_dtype=np.float16,
 ) -> List[CandidatePair]:
     """Global-k budget retrieval, truncated to top candidates_per_query * |Q|.
 
-    transfer_dtype=np.float16 halves host->device feature shipping (the
-    corpus-scale bottleneck on transfer-limited links) at ~1e-3 score
-    perturbation; the default keeps exact f32 semantics.
+    transfer_dtype=np.float16 (the default) halves host->device feature
+    shipping — the corpus-scale bottleneck on transfer-limited links — at
+    ~1e-3 score perturbation on unit vectors; the global-top-k SELECTION is
+    still exact over the shipped values (counting-verified fast scan +
+    budget doubling). Pass np.float32 to keep bit-exact f32 semantics.
     """
     cg = CandidateGeneration(
         refs, MaxScoreAggregation(), mesh=mesh, transfer_dtype=transfer_dtype

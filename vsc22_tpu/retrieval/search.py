@@ -70,7 +70,7 @@ def _merge_topk(best_s, best_i, new_s, new_i, k: int):
 
 def _row_topk_impl(
     queries, refs, num_valid, *, k: int, ref_tile: int, vary_axis=None,
-    compute_dtype=None, use_approx: bool = False,
+    compute_dtype=None, use_approx: bool = False, extract_e: int = 0,
 ):
     """Per-query-row top-k of `queries @ refs.T`, scanning reference tiles.
 
@@ -81,6 +81,14 @@ def _row_topk_impl(
     mesh axis (required by shard_map's varying-manual-axes typing).
     `compute_dtype=bfloat16` runs the GEMM operands in bf16 (f32 accumulate):
     ~4x faster on the MXU, sim error ~1e-3 on unit vectors.
+
+    extract_e > 0 selects the CHEAP per-tile extraction: instead of a full
+    [Tq, ref_tile] `lax.top_k` (~100x the tile's GEMM cost), only the top
+    `extract_e` entries per tile are peeled with iterative max+mask (e VPU
+    passes) before the narrow carry merge. A row with more than `extract_e`
+    true top-k entries inside one tile comes back truncated — callers MUST
+    verify with `_count_ge_rows` and rescan flagged rows through the exact
+    path (see row_topk).
     """
     nr, dim = refs.shape
     num_tiles = nr // ref_tile
@@ -89,6 +97,7 @@ def _row_topk_impl(
     refs = refs.astype(compute_dtype or jnp.float32)
     refs_tiled = refs.reshape(num_tiles, ref_tile, dim)
     kk = min(k, ref_tile)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, ref_tile), 1)
 
     def step(carry, inp):
         tile_idx, ref_block = inp
@@ -102,8 +111,20 @@ def _row_topk_impl(
             ),
         )  # [Tq, ref_tile] — MXU GEMM
         col0 = tile_idx * ref_tile
-        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tq, ref_tile), 1)
-        sims = jnp.where(cols < num_valid, sims, NEG_INF)
+        sims = jnp.where(col0 + col_iota < num_valid, sims, NEG_INF)
+        if extract_e:
+            es, ei = [], []
+            cur = sims
+            for _ in range(extract_e):
+                m = jnp.max(cur, axis=1)
+                a = jnp.argmax(cur, axis=1)
+                es.append(m)
+                ei.append(a + col0)
+                cur = jnp.where(col_iota == a[:, None], NEG_INF, cur)
+            return (
+                _merge_topk(*carry, jnp.stack(es, axis=1), jnp.stack(ei, axis=1), k),
+                None,
+            )
         if use_approx:
             # TPU-accelerated partial reduction; measured recall@32 = 1.000
             # vs exact at full corpus scale, ~1.6x faster than lax.top_k.
@@ -133,61 +154,15 @@ def _row_topk_impl(
 )
 def _row_topk_fast(queries, refs, num_valid, *, k: int, ref_tile: int,
                    extract_e: int = 16):
-    """Candidate per-row top-k via cheap per-tile extraction.
-
-    `lax.top_k` over a [Tq, ref_tile] tile costs ~100x the tile's GEMM
-    (it runs O(k) selection passes); this scan instead extracts only the
-    top `extract_e` entries per tile with iterative max+mask (e cheap VPU
-    passes) and merges into the k-wide carry with a NARROW top_k. A row
-    whose true top-k has more than `extract_e` entries inside one tile
-    comes back truncated — callers MUST verify with `_count_ge_rows` and
-    rescan flagged rows through the exact path (see row_topk).
-
-    Returns (scores [Tq, k], indices [Tq, k]) sorted descending.
-    """
-    nr, dim = refs.shape
-    num_tiles = nr // ref_tile
-    tq = queries.shape[0]
-    queries = queries.astype(jnp.float32)
-    refs_tiled = refs.astype(jnp.float32).reshape(num_tiles, ref_tile, dim)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, ref_tile), 1)
-
-    def step(carry, inp):
-        tile_idx, ref_block = inp
-        sims = jax.lax.dot_general(
-            queries, ref_block, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
-        )
-        col0 = tile_idx * ref_tile
-        sims = jnp.where(col0 + col_iota < num_valid, sims, NEG_INF)
-        es, ei = [], []
-        cur = sims
-        for _ in range(extract_e):
-            m = jnp.max(cur, axis=1)
-            a = jnp.argmax(cur, axis=1)
-            es.append(m)
-            ei.append(a + col0)
-            cur = jnp.where(col_iota == a[:, None], NEG_INF, cur)
-        return (
-            _merge_topk(
-                *carry, jnp.stack(es, axis=1), jnp.stack(ei, axis=1), k
-            ),
-            None,
-        )
-
-    init = (
-        jnp.full((tq, k), NEG_INF, jnp.float32),
-        jnp.zeros((tq, k), jnp.int32),
+    """Single-device jit entry of the cheap-extraction scan (see
+    `_row_topk_impl` with extract_e > 0)."""
+    return _row_topk_impl(
+        queries, refs, num_valid, k=k, ref_tile=ref_tile, extract_e=extract_e
     )
-    (scores, indices), _ = jax.lax.scan(
-        step, init, (jnp.arange(num_tiles, dtype=jnp.int32), refs_tiled)
-    )
-    return scores, indices
 
 
-@functools.partial(jax.jit, static_argnames=("ref_tile",))
-def _count_ge_rows(queries, refs, num_valid, taus, *, ref_tile: int):
+def _count_ge_rows_impl(queries, refs, num_valid, taus, *, ref_tile: int,
+                        vary_axis=None):
     """Per-row count of sims >= tau_row over the whole corpus (no sorts)."""
     nr, dim = refs.shape
     num_tiles = nr // ref_tile
@@ -207,12 +182,18 @@ def _count_ge_rows(queries, refs, num_valid, taus, *, ref_tile: int):
         hit = (sims >= taus[:, None]) & valid
         return carry + jnp.sum(hit.astype(jnp.int32), axis=1), None
 
+    init = jnp.zeros((tq,), jnp.int32)
+    if vary_axis is not None:
+        init = jax.lax.pcast(init, (vary_axis,), to="varying")
     counts, _ = jax.lax.scan(
-        step,
-        jnp.zeros((tq,), jnp.int32),
-        (jnp.arange(num_tiles, dtype=jnp.int32), refs_tiled),
+        step, init, (jnp.arange(num_tiles, dtype=jnp.int32), refs_tiled)
     )
     return counts
+
+
+@functools.partial(jax.jit, static_argnames=("ref_tile",))
+def _count_ge_rows(queries, refs, num_valid, taus, *, ref_tile: int):
+    return _count_ge_rows_impl(queries, refs, num_valid, taus, ref_tile=ref_tile)
 
 
 @functools.partial(
@@ -230,9 +211,12 @@ def _row_topk_local(
 
 def _make_sharded_row_topk(
     mesh: Mesh, axis: str, *, k: int, ref_tile: int, shard_rows: int,
-    compute_dtype=None, use_approx: bool = False,
+    compute_dtype=None, use_approx: bool = False, extract_e: int = 0,
 ):
-    """shard_map'd row-top-k: refs row-sharded along `axis`, queries replicated."""
+    """shard_map'd row-top-k: refs row-sharded along `axis`, queries
+    replicated. With extract_e > 0 each device runs the cheap-extraction
+    scan on its shard (same truncation caveat as `_row_topk_fast`; callers
+    verify with the sharded count and rescan suspects exactly)."""
 
     def local(q, r, num_valid):
         idx = jax.lax.axis_index(axis)
@@ -241,6 +225,7 @@ def _make_sharded_row_topk(
         s, i = _row_topk_impl(
             q, r, local_valid, k=k, ref_tile=ref_tile, vary_axis=axis,
             compute_dtype=compute_dtype, use_approx=use_approx,
+            extract_e=extract_e,
         )
         i = i + base
         # Gather every device's local winners over ICI and re-reduce.
@@ -261,6 +246,27 @@ def _make_sharded_row_topk(
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _make_sharded_count(mesh: Mesh, axis: str, *, ref_tile: int, shard_rows: int):
+    """shard_map'd `_count_ge_rows`: per-shard counts psum'd over ICI."""
+
+    def local(q, r, num_valid, taus):
+        idx = jax.lax.axis_index(axis)
+        local_valid = jnp.clip(num_valid - idx * shard_rows, 0, shard_rows)
+        counts = _count_ge_rows_impl(
+            q, r, local_valid, taus, ref_tile=ref_tile, vary_axis=axis
+        )
+        return jax.lax.psum(counts, axis)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -350,25 +356,31 @@ class SimilaritySearcher:
             1,
         )
         use_fast = (
-            self.mesh is None
-            and not self.use_approx
+            not self.use_approx
             and self.compute_dtype is None
             and self.extract_e > 0
             # the fast scan can surface at most e*num_tiles entries per row
+            # (per shard, when sharded — each shard contributes its own k)
             and self.extract_e * num_tiles >= 2 * k_eff
         )
         fn = None if use_fast else self._get_fn(k_eff)
         for start in range(0, q.shape[0], tile):
             q_dev = jnp.asarray(q[start : start + tile])
             if use_fast:
-                s, i = _row_topk_fast(
-                    q_dev, self.refs, num_valid,
-                    k=k_eff, ref_tile=self.ref_tile, extract_e=self.extract_e,
-                )
-                counts = _count_ge_rows(
-                    q_dev, self.refs, num_valid, s[:, k_eff - 1],
-                    ref_tile=self.ref_tile,
-                )
+                if self.mesh is None:
+                    s, i = _row_topk_fast(
+                        q_dev, self.refs, num_valid,
+                        k=k_eff, ref_tile=self.ref_tile, extract_e=self.extract_e,
+                    )
+                    counts = _count_ge_rows(
+                        q_dev, self.refs, num_valid, s[:, k_eff - 1],
+                        ref_tile=self.ref_tile,
+                    )
+                else:
+                    s, i = self._get_fast_fn(k_eff)(q_dev, self.refs, num_valid)
+                    counts = self._get_count_fn()(
+                        q_dev, self.refs, num_valid, s[:, k_eff - 1]
+                    )
                 s = np.array(s)  # writable (np.asarray of a jax array is RO)
                 i = np.array(i)
                 # Suspect rows: more corpus entries reach the found k-th
@@ -399,7 +411,7 @@ class SimilaritySearcher:
                 _row_topk_local, k=k, ref_tile=self.ref_tile,
                 compute_dtype=self.compute_dtype, use_approx=self.use_approx,
             )
-        key = k
+        key = ("exact", k)
         if key not in self._sharded_cache:
             self._sharded_cache[key] = _make_sharded_row_topk(
                 self.mesh,
@@ -411,6 +423,27 @@ class SimilaritySearcher:
                 use_approx=self.use_approx,
             )
         return self._sharded_cache[key]
+
+    def _get_fast_fn(self, k: int):
+        key = ("fast", k)
+        if key not in self._sharded_cache:
+            self._sharded_cache[key] = _make_sharded_row_topk(
+                self.mesh,
+                self.mesh_axis,
+                k=k,
+                ref_tile=self.ref_tile,
+                shard_rows=self.shard_rows,
+                extract_e=self.extract_e,
+            )
+        return self._sharded_cache[key]
+
+    def _get_count_fn(self):
+        if "count" not in self._sharded_cache:
+            self._sharded_cache["count"] = _make_sharded_count(
+                self.mesh, self.mesh_axis,
+                ref_tile=self.ref_tile, shard_rows=self.shard_rows,
+            )
+        return self._sharded_cache["count"]
 
     # ------------------------------------------------------------------
     def global_topk(

@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+if os.environ.get("JAX_PLATFORMS", "") == "cpu" or "--tiny" in sys.argv:
+    # env alone is too late when sitecustomize already imported jax with
+    # the TPU relay platform; the config update still works pre-backend.
+    jax.config.update("jax_platforms", "cpu")
+else:
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
@@ -75,6 +79,7 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--tiny", action="store_true", help="tiny models (CPU smoke)")
+    ap.add_argument("--profile", action="store_true", help="per-stage timings to stderr")
     args = ap.parse_args()
 
     from vsc22_tpu.models.hrnet import sam_hrnet_tiny_test, sam_hrnet_w18
@@ -115,9 +120,20 @@ def main():
 
     qlen = {v.video_id: args.frames for v in queries}
 
+    timer = None
+    if args.profile:
+        from vsc22_tpu.utils.observability import StageTimer
+
+        timer = StageTimer()
+
     def run():
-        sn_q = query_score_normalize(queries, noise_r, beta=1.5, nk=10)
-        sn_r = ref_score_normalize(refs, noise_r, beta=1.5, nk=10)
+        if timer is not None:
+            with timer.stage("score_norm"):
+                sn_q = query_score_normalize(queries, noise_r, beta=1.5, nk=10)
+                sn_r = ref_score_normalize(refs, noise_r, beta=1.5, nk=10)
+        else:
+            sn_q = query_score_normalize(queries, noise_r, beta=1.5, nk=10)
+            sn_r = ref_score_normalize(refs, noise_r, beta=1.5, nk=10)
         # untrained filter has no selectivity; emulate the trained
         # filter's ~95% rejection (matching PDF 2.2) for a representative
         # stage-5 load
@@ -127,14 +143,19 @@ def main():
             queries, refs, sn_q, sn_r, qlen, classify, refine,
             cls_keep_fraction=0.2,
             max_candidates=25 * args.queries,
+            timer=timer,
         )
 
-    from vsc22_tpu.pipelines.matching_infer import recall_candidates
-
     rows = run()  # warmup/compile
+    if timer is not None:
+        timer.totals.clear()
+        timer.counts.clear()
     t0 = time.perf_counter()
     rows = run()
     elapsed = time.perf_counter() - t0
+    if timer is not None:
+        print("--- stage profile ---", file=sys.stderr)
+        print(timer.report(), file=sys.stderr)
     s26 = args.queries / elapsed
     combined = 1.0 / (1.0 / STAGE1_VIDEOS_PER_SEC + 1.0 / s26)
     print(

@@ -47,14 +47,15 @@ def generate_matching_result(
         qmat = sim_mat > threshold
         binary = qmat.astype(np.uint8)
         conn_label, num_label = ndimage.label(binary, structure=_EIGHT_CONN)
-        label_cnt: Dict[int, int] = {}
-        for i in range(1, num_label + 1):
-            component = conn_label == i
-            cnt = int(component.sum())
-            if cnt > 10:
-                label_cnt[i] = cnt
-                qmat[component] = False  # big components handled individually
-        if not label_cnt:
+        # One bincount pass instead of a full-array scan per label (noisy
+        # heatmaps produce hundreds of components; semantics identical).
+        counts = np.bincount(conn_label.ravel(), minlength=num_label + 1)
+        big = np.flatnonzero(counts > 10)
+        big = big[big > 0]
+        label_cnt: Dict[int, int] = {int(i): int(counts[i]) for i in big}
+        if label_cnt:
+            qmat[np.isin(conn_label, big)] = False  # handled individually
+        else:
             conn_label = qmat.astype(np.int32)
             label_cnt[1] = int(conn_label.sum())
 

@@ -28,7 +28,7 @@ import numpy as np
 
 from vsc22_tpu.core.types import VideoFeature
 from vsc22_tpu.matching.decode import generate_matching_result
-from vsc22_tpu.matching.simmat import candidate_sim_matrices, pad_sim_matrix, select_best_split_segment
+from vsc22_tpu.matching.simmat import candidate_sim_matrices, select_best_split_segment
 from vsc22_tpu.retrieval.packed import PackedFeatures
 from vsc22_tpu.retrieval.search import SimilaritySearcher
 
@@ -50,21 +50,33 @@ def recall_candidates(
     mesh=None,
 ) -> List[Tuple[str, str, float]]:
     """Stage 3: every (query, ref) video pair with any frame sim > threshold,
-    scored by its max frame similarity, sorted descending."""
+    scored by its max frame similarity, sorted descending.
+
+    All query videos go through ONE batched threshold search (a per-video
+    loop costs a dispatch+fetch round-trip per video — ~0.2 s each on a
+    relay-attached chip); the (query video, ref video) max-aggregation then
+    runs as a single compacted scatter over the hit list, with memory
+    proportional to the number of hits, not |Q|x|R|.
+    """
     packed_refs = PackedFeatures.from_video_features(sn_refs)
+    packed_q = PackedFeatures.from_video_features(sn_queries)
     searcher = SimilaritySearcher(packed_refs.features[: packed_refs.num_rows], mesh=mesh)
-    n_ref_vids = len(packed_refs.video_ids)
-    out: List[Tuple[str, str, float]] = []
-    for vf in sn_queries:
-        rows, cols, scores = searcher.threshold_search(vf.feature, threshold)
-        if len(cols) == 0:
-            continue
-        # Max-aggregate frame matches per ref video in one scatter pass
-        # (millions of matches at matching-track scale; no Python loop).
-        best = np.full(n_ref_vids, -np.inf, np.float64)
-        np.maximum.at(best, packed_refs.video_idx[cols], scores)
-        for rv in np.flatnonzero(best > -np.inf):
-            out.append((vf.video_id, packed_refs.video_ids[rv], float(best[rv])))
+    rows, cols, scores = searcher.threshold_search(
+        packed_q.features[: packed_q.num_rows], threshold
+    )
+    if len(cols) == 0:
+        return []
+    q_vid = packed_q.video_idx[rows].astype(np.int64)
+    r_vid = packed_refs.video_idx[cols].astype(np.int64)
+    keys = q_vid * len(packed_refs.video_ids) + r_vid
+    uniq, inv = np.unique(keys, return_inverse=True)
+    best = np.full(uniq.shape[0], -np.inf, np.float64)
+    np.maximum.at(best, inv, scores)
+    uq, ur = np.divmod(uniq, len(packed_refs.video_ids))
+    out = [
+        (packed_q.video_ids[int(a)], packed_refs.video_ids[int(b)], float(s))
+        for a, b, s in zip(uq, ur, best)
+    ]
     out.sort(key=lambda t: -t[2])
     return out
 
@@ -78,8 +90,26 @@ class ClassifyEnsemble:
     batch: int = 256
 
     def __post_init__(self):
+        # Input ships as a single-channel f16 plane (sims live in [-1, 1]:
+        # f16 error ~5e-4 there) and is broadcast to the 3 identical
+        # channels on DEVICE — 12x less host->device traffic than shipping
+        # the replicated f32 image, the dominant cost on relay links.
         self._fns = [
-            (jax.jit(lambda v, im, m=model: jax.nn.softmax(m.apply(v, im, train=False), axis=1)[:, 1]), variables)
+            (
+                jax.jit(
+                    lambda v, im, m=model: jax.nn.softmax(
+                        m.apply(
+                            v,
+                            jnp.broadcast_to(
+                                im.astype(jnp.float32)[..., None], im.shape + (3,)
+                            ),
+                            train=False,
+                        ),
+                        axis=1,
+                    )[:, 1]
+                ),
+                variables,
+            )
             for model, variables in self.models
         ]
 
@@ -90,15 +120,17 @@ class ClassifyEnsemble:
         probs = np.zeros(n, np.float32)
         # Pad per device batch, never the whole candidate set at once — the
         # recall stage can emit hundreds of thousands of pairs and a full
-        # [N, 160, 160, 3] stack would be hundreds of GB.
+        # [N, 160, 160] stack would be tens of GB.
         for start in range(0, n, self.batch):
             chunk = sim_mats[start : start + self.batch]
             valid = len(chunk)
             block = np.zeros(
-                (self.batch, self.resolution, self.resolution, 3), np.float32
+                (self.batch, self.resolution, self.resolution), np.float16
             )
             for j, s in enumerate(chunk):
-                block[j] = pad_sim_matrix(s, self.resolution)
+                h = min(s.shape[0], self.resolution)
+                w = min(s.shape[1], self.resolution)
+                block[j, :h, :w] = s[:h, :w]
             x = jnp.asarray(block)
             preds = [np.asarray(fn(variables, x))[:valid] for fn, variables in self._fns]
             probs[start : start + valid] = sum(preds) / len(preds)
@@ -114,11 +146,20 @@ class RefineEnsemble:
     batch: int = 16
 
     def __post_init__(self):
+        # Single-channel f16 shipping as in ClassifyEnsemble; the transpose
+        # TTA view is built on device from the same shipped plane.
         self._fns = [
             (
                 jax.jit(
                     lambda v, im, m=model: jax.nn.softmax(
-                        m.apply(v, im, train=False), axis=-1
+                        m.apply(
+                            v,
+                            jnp.broadcast_to(
+                                im.astype(jnp.float32)[..., None], im.shape + (3,)
+                            ),
+                            train=False,
+                        ),
+                        axis=-1,
                     )[..., 1]
                 ),
                 variables,
@@ -135,12 +176,13 @@ class RefineEnsemble:
         for start in range(0, len(meta), self.batch):
             chunk = meta[start : start + self.batch]
             sims = [q @ r.T for _, _, q, r in chunk]
-            images = np.stack([pad_sim_matrix(s, self.resolution) for s in sims])
-            valid = len(images)
-            if valid < self.batch:
-                images = np.concatenate(
-                    [images, np.zeros((self.batch - valid,) + images.shape[1:], images.dtype)]
-                )
+            images = np.zeros(
+                (self.batch, self.resolution, self.resolution), np.float16
+            )
+            for j, s in enumerate(sims):
+                h = min(s.shape[0], self.resolution)
+                w = min(s.shape[1], self.resolution)
+                images[j, :h, :w] = s[:h, :w]
             x = jnp.asarray(images)
             xt = jnp.swapaxes(x, 1, 2)
             acc = None
@@ -169,6 +211,7 @@ def matching_inference(
     cls_keep_fraction: float = None,
     max_candidates: int = None,
     mesh=None,
+    timer=None,
 ) -> List[List]:
     """Stages 3-6. Returns match rows
     [query_id, ref_id, query_start, query_end, ref_start, ref_end, score].
@@ -179,12 +222,18 @@ def matching_inference(
     threshold alone has no selectivity; the reference's trained filter
     removes ~95% of recalls (matching PDF §2.2).
     """
-    candidates = recall_candidates(sn_queries, sn_refs, mesh=mesh)
-    if max_candidates is not None:
-        # recall_candidates returns pairs sorted by descending max-frame
-        # score; a budget here mirrors sscd_baseline's 25/query truncation
-        # for corpora whose score distribution differs from production.
-        candidates = candidates[:max_candidates]
+    import contextlib
+
+    stage = timer.stage if timer is not None else (lambda _: contextlib.nullcontext())
+
+    with stage("recall"):
+        candidates = recall_candidates(sn_queries, sn_refs, mesh=mesh)
+        if max_candidates is not None:
+            # recall_candidates returns pairs sorted by descending max-frame
+            # score; a budget here mirrors sscd_baseline's 25/query
+            # truncation for corpora whose score distribution differs from
+            # production.
+            candidates = candidates[:max_candidates]
 
     queries_n = [dataclasses.replace(v, feature=_l2(v.feature)) for v in queries]
     refs_n = [dataclasses.replace(v, feature=_l2(v.feature)) for v in refs]
@@ -192,8 +241,12 @@ def matching_inference(
     ref_map = {v.video_id: v.feature for v in refs_n}
 
     # Stage 4: classify filter (sim + transpose per candidate).
-    feats, infos = candidate_sim_matrices(query_map, ref_map, candidates, query_video_len_map)
-    probs = classify.predict(feats)
+    with stage("classify_simmats"):
+        feats, infos = candidate_sim_matrices(
+            query_map, ref_map, candidates, query_video_len_map
+        )
+    with stage("classify_predict"):
+        probs = classify.predict(feats)
     best_prob: Dict[Tuple[str, str], float] = {}
     for (qid, rid, _), p in zip(infos, probs):
         key = (qid, rid)
@@ -204,25 +257,29 @@ def matching_inference(
         selected = sorted(selected, key=lambda t: -t[2])[:keep_n]
 
     # Stage 5: SAM refinement.
-    meta = [
-        (
-            qid,
-            rid,
-            select_best_split_segment(query_map[qid], ref_map[rid], query_video_len_map[qid]),
-            ref_map[rid],
-        )
-        for qid, rid, _ in selected
-    ]
-    refined = refine.predict(meta)
+    with stage("refine"):
+        meta = [
+            (
+                qid,
+                rid,
+                select_best_split_segment(
+                    query_map[qid], ref_map[rid], query_video_len_map[qid]
+                ),
+                ref_map[rid],
+            )
+            for qid, rid, _ in selected
+        ]
+        refined = refine.predict(meta)
 
     # Stage 6: decode at three operating points; union by max score.
-    best: Dict[Tuple, float] = {}
-    for threshold, std_ratio in DECODE_SETTINGS:
-        for qid, rid, qs, rs, qe, re, score in generate_matching_result(
-            refined, threshold=threshold, std_ratio=std_ratio
-        ):
-            key = (qid, rid, float(qs), float(qe), float(rs), float(re))
-            best[key] = max(best.get(key, -np.inf), score)
+    with stage("decode"):
+        best: Dict[Tuple, float] = {}
+        for threshold, std_ratio in DECODE_SETTINGS:
+            for qid, rid, qs, rs, qe, re, score in generate_matching_result(
+                refined, threshold=threshold, std_ratio=std_ratio
+            ):
+                key = (qid, rid, float(qs), float(qe), float(rs), float(re))
+                best[key] = max(best.get(key, -np.inf), score)
     return [
         [qid, rid, qs, qe, rs, re, score]
         for (qid, rid, qs, qe, rs, re), score in best.items()

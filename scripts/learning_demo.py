@@ -131,6 +131,11 @@ def main():
     ap.add_argument("--epochs_a", type=int, default=12, help="first run segment")
     ap.add_argument("--epochs_b", type=int, default=24, help="resumed total epochs")
     ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument(
+        "--model", default="swinv2_tiny_test",
+        choices=["swinv2_tiny_test", "vit_tiny_test"],
+        help="swinv2 is the reference's flagship family (VERDICT r2 #8)",
+    )
     ap.add_argument("--out_md", default="docs/learning_demo.md")
     args = ap.parse_args()
 
@@ -139,11 +144,21 @@ def main():
     print(f"corpus: {args.n_train} train / {args.n_val} val images", flush=True)
 
     from vsc22_tpu.data.augment import build_hard_pipelines
-    from vsc22_tpu.models.vit import vit_tiny_test_descriptor
     from vsc22_tpu.train import descriptor_cli
 
-    width = 64
-    model = vit_tiny_test_descriptor()
+    if args.model == "swinv2_tiny_test":
+        from vsc22_tpu.models.swinv2 import swinv2_tiny_test_descriptor
+
+        width = 32  # SWINV2_TINY_TEST img_size
+        model = swinv2_tiny_test_descriptor(output_dim=32)
+        model_overrides = ["model.type=swinv2_tiny_test", "model.output_dim=32",
+                           "img_width=32"]
+    else:
+        from vsc22_tpu.models.vit import vit_tiny_test_descriptor
+
+        width = 64
+        model = vit_tiny_test_descriptor()
+        model_overrides = []
 
     # Hard-augmented queries from half the val refs (the non-trivial task).
     rng = np.random.default_rng(42)
@@ -171,7 +186,7 @@ def main():
         "--entropy_weight", "10",
         "--do_ema", "--do_fgm",
         "--print_freq", "5",
-    ]
+    ] + model_overrides
     # Segment A, then resume for segment B (exercises checkpoint/resume).
     descriptor_cli.main(cli_common + ["--epochs", str(args.epochs_a)])
     state = descriptor_cli.main(cli_common + ["--epochs", str(args.epochs_b), "--resume"])

@@ -301,3 +301,72 @@ class TestTnNative:
         assert len(boxes) >= 1
         q0, r0, q1, r1 = boxes[0]
         assert q0 <= 12 and q1 >= 38 and r0 <= 22 and r1 >= 48
+
+
+class TestVcslIO:
+    def test_item_and_pair_datasets(self, tmp_path):
+        import cv2
+
+        from vsc22_tpu.align.vcsl_io import (
+            AsyncWriter,
+            ImageItemDataset,
+            ItemDataset,
+            PairDataset,
+            build_reader,
+            build_writer,
+        )
+
+        arrs = {}
+        for name in ("a", "b", "c"):
+            arr = np.arange(12, dtype=np.float32).reshape(3, 4) + ord(name)
+            np.save(tmp_path / f"{name}.npy", arr)
+            arrs[name] = arr
+
+        items = ItemDataset(
+            [("a", "a.npy"), ("b", "b.npy")], root=str(tmp_path), data_type="numpy"
+        )
+        assert len(items) == 2
+        uid, val = items[1]
+        assert uid == "b"
+        np.testing.assert_array_equal(val, arrs["b"])
+
+        # pair-list mode
+        pairs = PairDataset(
+            pair_list=[("a", "c")],
+            file_dict={"a": "a.npy", "c": "c.npy"},
+            root=str(tmp_path),
+            data_type="numpy",
+        )
+        qid, gid, qv, gv = pairs[0]
+        assert (qid, gid) == ("a", "c")
+        np.testing.assert_array_equal(gv, arrs["c"])
+
+        # product mode, row-major
+        prod = PairDataset(
+            query_list=[("a", "a.npy"), ("b", "b.npy")],
+            gallery_list=[("b", "b.npy"), ("c", "c.npy")],
+            root=str(tmp_path),
+            data_type="numpy",
+        )
+        assert len(prod) == 4
+        qid, gid, _, _ = prod[1]
+        assert (qid, gid) == ("a", "c")
+
+        # image dataset with a transform chain
+        img = np.full((4, 4, 3), 7, np.uint8)
+        cv2.imwrite(str(tmp_path / "img.png"), img)
+        imgs = ImageItemDataset(
+            [("i", "img.png")], root=str(tmp_path), transforms=[lambda x: x + 1]
+        )
+        _, out = imgs[0]
+        assert (out == 8).all()
+
+        # async writer pool round-trips through the json writer
+        w = AsyncWriter(pool_size=2, data_type="json")
+        w.consume((str(tmp_path / "x.json"), {"k": 1}))
+        w.consume((str(tmp_path / "y.json"), [1, 2]))
+        w.stop()
+        assert build_reader(data_type="json")(str(tmp_path / "x.json")) == {"k": 1}
+
+        with pytest.raises(NotImplementedError):
+            build_writer(store_type="oss")

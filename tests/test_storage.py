@@ -69,3 +69,81 @@ def test_reference_npz_interop(tmp_path):
     assert set(data.files) == {"video_ids", "features", "timestamps"}
     assert data["features"].dtype == np.float32
     assert (data["video_ids"] == "R000007").all()
+
+
+def _load_reference_storage():
+    """Exec the reference's own vendored vsc/storage.py (faiss-free module;
+    only its two intra-package imports are satisfied with local stand-ins
+    mirroring vsc/index.py:24-46 and vsc/metrics.py:26-40)."""
+    import dataclasses
+    import types
+
+    path = (
+        "/root/reference/VSC22-Descriptor-Track-1st/infer/vsc/storage.py"
+    )
+    src = open(path).read()
+    src = src.replace("from vsc.index import VideoFeature\n", "")
+    src = src.replace("from vsc.metrics import Dataset, format_video_id\n", "")
+
+    @dataclasses.dataclass
+    class RefVideoFeature:
+        video_id: str
+        timestamps: np.ndarray
+        feature: np.ndarray
+
+        def __len__(self):
+            return self.feature.shape[0]
+
+    def ref_format_video_id(video_id, dataset):
+        if isinstance(video_id, (int, np.integer)):
+            return f"{dataset.value}{video_id:06d}"
+        return str(video_id)
+
+    mod = types.ModuleType("ref_vsc_storage")
+    mod.__dict__.update(
+        VideoFeature=RefVideoFeature,
+        Dataset=None,
+        format_video_id=ref_format_video_id,
+    )
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
+
+
+def test_cross_compat_with_reference_storage(tmp_path):
+    """An npz written by the reference's vendored vsc/storage.py loads into
+    identical VideoFeatures here, and vice versa."""
+    ref = _load_reference_storage()
+
+    rng = np.random.default_rng(5)
+    ref_feats = [
+        ref.VideoFeature(
+            video_id=f"Q{i:06d}",
+            timestamps=np.arange(10 + i, dtype=np.float64),
+            feature=rng.standard_normal((10 + i, DIMS)).astype(np.float32),
+        )
+        for i in range(3)
+    ]
+    theirs = tmp_path / "ref_written.npz"
+    ref.store_features(str(theirs), ref_feats)
+    mine = load_features(str(theirs))
+    assert [v.video_id for v in mine] == [v.video_id for v in ref_feats]
+    for a, b in zip(mine, ref_feats):
+        assert_allclose(a.feature, b.feature)
+        assert_allclose(a.timestamps, b.timestamps)
+
+    # Reverse direction: our writer -> reference loader.
+    ours = tmp_path / "repo_written.npz"
+    store_features(
+        str(ours),
+        [
+            VideoFeature(
+                video_id=v.video_id, timestamps=v.timestamps, feature=v.feature
+            )
+            for v in ref_feats
+        ],
+    )
+    back = ref.load_features(str(ours))
+    assert [v.video_id for v in back] == [v.video_id for v in ref_feats]
+    for a, b in zip(back, ref_feats):
+        assert_allclose(a.feature, b.feature)
+        assert_allclose(a.timestamps, b.timestamps)

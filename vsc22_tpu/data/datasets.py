@@ -296,6 +296,136 @@ class DataLoader:
             t.join()
 
 
+def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    return {
+        k: np.stack([s[k] for s in samples])
+        for k in samples[0]
+        if not isinstance(samples[0][k], str)
+    }
+
+
+def _process_loader_worker(
+    factory, worker_id, num_workers, batch_size, seed, epoch, shuffle,
+    process_index, process_count, drop_last, out_q,
+):
+    """Spawned worker: rebuilds the dataset from `factory`, derives the same
+    deterministic epoch order as the parent, and collates its stride of
+    batches (worker_id::num_workers)."""
+    try:
+        ds = factory()
+        n = len(ds)
+        order = (
+            np.random.default_rng((seed, epoch)).permutation(n)
+            if shuffle
+            else np.arange(n)
+        )
+        indices = order[process_index::process_count]
+        n_batches = len(indices) // batch_size
+        if not drop_last and len(indices) % batch_size:
+            n_batches += 1
+        rng = np.random.default_rng((seed, epoch, worker_id))
+        for bi in range(worker_id, n_batches, num_workers):
+            b = indices[bi * batch_size : (bi + 1) * batch_size]
+            samples = [ds.sample(int(i), rng) for i in b]
+            out_q.put((bi, _collate(samples)))
+        out_q.put(("done", worker_id))
+    except Exception:  # pragma: no cover - surfaced in the consumer
+        import traceback
+
+        out_q.put(("error", traceback.format_exc()))
+
+
+class ProcessDataLoader:
+    """Process-pool aug prefetcher for CPU-heavy pipelines.
+
+    The threaded `DataLoader` is GIL-bound on the hard-aug pipelines
+    (cv2/PIL release the GIL only partially); at pod-scale training the
+    host must run augs on all cores. Workers are spawned processes that
+    rebuild the dataset from a picklable `dataset_factory` (mmap stores
+    re-open per process — fork-after-JAX is unsafe on this runtime, so
+    spawn + factory, never pickled live datasets), take every
+    num_workers-th batch of the shared deterministic epoch order, and
+    stream collated batches back through one queue; the parent re-orders.
+
+    Same (seed, epoch) permutation and (process_index, process_count)
+    sharding contract as `DataLoader`; per-sample aug RNG differs (seeded
+    by worker id, as in the threaded loader).
+    """
+
+    def __init__(
+        self,
+        dataset_factory,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+        drop_last: bool = True,
+        dataset_len: Optional[int] = None,
+    ):
+        self.factory = dataset_factory
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(num_workers, 1)
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+        if dataset_len is None:
+            dataset_len = len(dataset_factory())
+        self.dataset_len = dataset_len
+
+    def _n_batches(self) -> int:
+        n_local = len(range(self.process_index, self.dataset_len, self.process_count))
+        n = n_local // self.batch_size
+        if not self.drop_last and n_local % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        import multiprocessing as mp
+
+        n_batches = self._n_batches()
+        if n_batches == 0:
+            return
+        ctx = mp.get_context("spawn")
+        out_q = ctx.Queue(maxsize=4 * self.num_workers)
+        procs = [
+            ctx.Process(
+                target=_process_loader_worker,
+                args=(
+                    self.factory, w, self.num_workers, self.batch_size,
+                    self.seed, epoch, self.shuffle, self.process_index,
+                    self.process_count, self.drop_last, out_q,
+                ),
+                daemon=True,
+            )
+            for w in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+        try:
+            results: Dict[int, Dict] = {}
+            next_bi = 0
+            done = 0
+            while done < self.num_workers or next_bi < n_batches:
+                tag, payload = out_q.get()
+                if tag == "done":
+                    done += 1
+                elif tag == "error":
+                    raise RuntimeError(f"loader worker failed:\n{payload}")
+                else:
+                    results[tag] = payload
+                while next_bi in results:
+                    yield results.pop(next_bi)
+                    next_bi += 1
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+
+
 class OverlayImagePairDataset(FramePairDataset):
     """DISC-style overlay pair generator (reference ImageLmdbDataSet,
     videolmdb_dataset.py:327-374 — auxiliary, absent from final configs):

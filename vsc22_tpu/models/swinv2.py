@@ -470,6 +470,11 @@ def swinv2_base_256_descriptor(dtype=jnp.bfloat16) -> SwinTransformerV2:
     return SwinTransformerV2(cfg=SWINV2_BASE_256, dtype=dtype)
 
 
-def swinv2_tiny_test_descriptor(dtype=jnp.float32) -> SwinTransformerV2:
-    """Small config for unit tests and CPU smoke runs."""
-    return SwinTransformerV2(cfg=SWINV2_TINY_TEST, dtype=dtype)
+def swinv2_tiny_test_descriptor(dtype=jnp.float32, output_dim=None) -> SwinTransformerV2:
+    """Small config for unit tests and CPU smoke runs. `output_dim`
+    overrides the descriptor width (registry configs pass it through,
+    e.g. the learning demo trains a 32-d tiny model)."""
+    cfg = SWINV2_TINY_TEST
+    if output_dim is not None:
+        cfg = dataclasses.replace(cfg, output_dim=int(output_dim))
+    return SwinTransformerV2(cfg=cfg, dtype=dtype)

@@ -29,6 +29,54 @@ DECODE_SETTINGS: Tuple[Tuple[float, float], ...] = ((0.35, 0.5), (0.1, 1.25), (0
 _EIGHT_CONN = np.ones((3, 3), np.int32)
 
 
+def _ransac_line(
+    x: np.ndarray,
+    y: np.ndarray,
+    weights: np.ndarray,
+    *,
+    trials: int = 200,
+    residual_threshold: float = 2.0,
+    seed: int = 2023,
+):
+    """Vectorized RANSAC line fit y = coef*x + intercept.
+
+    Same procedure as the reference's sklearn RANSACRegressor call
+    (M1/infer/src/utils.py:92-96: 200 trials, residual 2, weighted refit)
+    but with all trials evaluated as one [trials, N] numpy pass — sklearn
+    loops trials in Python (~1 ms each), which made decode the wall-clock
+    wall of matching inference (86 of 120 s measured). Returns
+    (coef, intercept) of the weighted-least-squares refit on the best
+    trial's inlier set, or None when no valid consensus exists.
+    """
+    n = x.shape[0]
+    rng = np.random.default_rng(seed)
+    pick = rng.integers(0, n, (trials, 2))
+    x0, x1 = x[pick[:, 0]], x[pick[:, 1]]
+    y0, y1 = y[pick[:, 0]], y[pick[:, 1]]
+    dx = x1 - x0
+    ok = dx != 0
+    slope = np.where(ok, (y1 - y0) / np.where(ok, dx, 1), 0.0)
+    intercept = y0 - slope * x0
+    pred = slope[:, None] * x[None, :] + intercept[:, None]
+    inliers = np.abs(y[None, :] - pred) < residual_threshold
+    counts = inliers.sum(axis=1) * ok
+    best = int(np.argmax(counts))
+    mask = inliers[best]
+    if not ok.any() or mask.sum() < 2:
+        return None
+    w = weights[mask]
+    xm, ym = x[mask].astype(np.float64), y[mask].astype(np.float64)
+    total = w.sum()
+    if total <= 0:
+        return None
+    mx, my = (w * xm).sum() / total, (w * ym).sum() / total
+    var = (w * (xm - mx) ** 2).sum()
+    if var == 0:
+        return None
+    coef = float((w * (xm - mx) * (ym - my)).sum() / var)
+    return coef, float(my - coef * mx)
+
+
 def generate_matching_result(
     res_list: Sequence[Tuple[str, str, np.ndarray, np.ndarray]],
     threshold: float = 0.05,
@@ -40,8 +88,6 @@ def generate_matching_result(
     score statistics are computed on `heatmap` (reference passes the SAM
     probability map as sim_mat and the raw sim as sim_mat_org, unused).
     """
-    from sklearn.linear_model import RANSACRegressor
-
     match_res: List[List] = []
     for qid, rid, sim_mat, _sim_org in res_list:
         qmat = sim_mat > threshold
@@ -63,14 +109,13 @@ def generate_matching_result(
         for i in label_cnt:
             x, y = np.where((conn_label == i) | qmat)
             if len(set(x)) > 3:
-                ransac = RANSACRegressor(
-                    max_trials=200, random_state=2023, residual_threshold=2
-                )
                 prob = sim_mat[x, y]
-                ransac.fit(x[:, None], y[:, None], sample_weight=np.square(prob))
-                pred = ransac.predict(x[:, None]).flatten()
+                fit = _ransac_line(x, y, np.square(prob))
+                if fit is None:
+                    continue
+                coef, intercept = fit
+                pred = coef * x + intercept
                 qualify = np.abs(y - pred) < 1
-                coef = float(ransac.estimator_.coef_[0][0])
                 if coef <= 0:
                     continue
                 coef = max(1 / coef, coef)

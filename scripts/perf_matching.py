@@ -107,8 +107,11 @@ def main():
             m = mobilenetv3_small(num_classes=2)
             h = sam_hrnet_tiny_test()
         else:
-            m = mobilenetv3_small(num_classes=2)
-            h = sam_hrnet_w18()
+            # bf16 serving: HRNet's 18-channel convs are MXU-pad-bound in
+            # f32; bf16 halves the math precision cost at ~1e-2 heatmap
+            # probability error (decode thresholds are 0.35/0.1/0.001).
+            m = mobilenetv3_small(num_classes=2, dtype=jnp.bfloat16)
+            h = sam_hrnet_w18(dtype=jnp.bfloat16)
         cls_models.append(
             (m, m.init(jax.random.PRNGKey(fold), jnp.zeros((1, CLS_RESOLUTION, CLS_RESOLUTION, 3))))
         )

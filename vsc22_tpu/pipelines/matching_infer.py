@@ -20,6 +20,7 @@ sharded GEMM threshold search; only the RANSAC decode stays on host.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -93,25 +94,43 @@ class ClassifyEnsemble:
         # Input ships as a single-channel f16 plane (sims live in [-1, 1]:
         # f16 error ~5e-4 there) and is broadcast to the 3 identical
         # channels on DEVICE — 12x less host->device traffic than shipping
-        # the replicated f32 image, the dominant cost on relay links.
-        self._fns = [
-            (
-                jax.jit(
-                    lambda v, im, m=model: jax.nn.softmax(
-                        m.apply(
-                            v,
-                            jnp.broadcast_to(
-                                im.astype(jnp.float32)[..., None], im.shape + (3,)
-                            ),
-                            train=False,
-                        ),
-                        axis=1,
-                    )[:, 1]
+        # the replicated f32 image, the dominant cost on relay links. When
+        # the folds share one architecture (2x mobilenetv3_small_100), the
+        # fold loop runs as a lax.scan over stacked variables inside ONE
+        # program per batch.
+        def apply_one(model, v, im):
+            return jax.nn.softmax(
+                model.apply(
+                    v,
+                    jnp.broadcast_to(
+                        im.astype(jnp.float32)[..., None], im.shape + (3,)
+                    ),
+                    train=False,
                 ),
-                variables,
+                axis=1,
+            )[:, 1]
+
+        models = [m for m, _ in self.models]
+        if len(self.models) > 1 and all(m == models[0] for m in models):
+            stack = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[v for _, v in self.models]
             )
-            for model, variables in self.models
-        ]
+            model = models[0]
+
+            def fwd(stack, im):
+                def body(carry, v):
+                    return carry, apply_one(model, v, im)
+
+                return jnp.mean(jax.lax.scan(body, None, stack)[1], axis=0)
+
+            self._scanned = (jax.jit(fwd), stack)
+            self._fns = None
+        else:
+            self._scanned = None
+            self._fns = [
+                (jax.jit(functools.partial(apply_one, model)), variables)
+                for model, variables in self.models
+            ]
 
     def predict(self, sim_mats: Sequence[np.ndarray]) -> np.ndarray:
         if not sim_mats:
@@ -132,8 +151,16 @@ class ClassifyEnsemble:
                 w = min(s.shape[1], self.resolution)
                 block[j, :h, :w] = s[:h, :w]
             x = jnp.asarray(block)
-            preds = [np.asarray(fn(variables, x))[:valid] for fn, variables in self._fns]
-            probs[start : start + valid] = sum(preds) / len(preds)
+            if self._scanned is not None:
+                fwd, stack = self._scanned
+                preds = np.asarray(fwd(stack, x), np.float32)[:valid]
+                probs[start : start + valid] = preds
+            else:
+                preds = [
+                    np.asarray(fn(variables, x))[:valid]
+                    for fn, variables in self._fns
+                ]
+                probs[start : start + valid] = sum(preds) / len(preds)
         return probs
 
 
@@ -146,26 +173,47 @@ class RefineEnsemble:
     batch: int = 16
 
     def __post_init__(self):
-        # Single-channel f16 shipping as in ClassifyEnsemble; the transpose
-        # TTA view is built on device from the same shipped plane.
-        self._fns = [
-            (
-                jax.jit(
-                    lambda v, im, m=model: jax.nn.softmax(
-                        m.apply(
-                            v,
-                            jnp.broadcast_to(
-                                im.astype(jnp.float32)[..., None], im.shape + (3,)
-                            ),
-                            train=False,
-                        ),
-                        axis=-1,
-                    )[..., 1]
+        # Single-channel f16 shipping as in ClassifyEnsemble. The whole
+        # fold x TTA grid runs as ONE program per batch: the transpose view
+        # joins the batch axis on device and, when the folds share one
+        # architecture (they do — 2x hrnet_w18), the fold loop is a
+        # lax.scan over stacked variables, so a batch costs one dispatch
+        # chain instead of folds x 2.
+        def apply_one(model, v, im):
+            return jax.nn.softmax(
+                model.apply(
+                    v,
+                    jnp.broadcast_to(
+                        im.astype(jnp.float32)[..., None], im.shape + (3,)
+                    ),
+                    train=False,
                 ),
-                variables,
+                axis=-1,
+            )[..., 1]
+
+        models = [m for m, _ in self.models]
+        if len(self.models) > 1 and all(m == models[0] for m in models):
+            stack = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[v for _, v in self.models]
             )
-            for model, variables in self.models
-        ]
+            model = models[0]
+
+            def fwd(stack, im):
+                both = jnp.concatenate([im, jnp.swapaxes(im, 1, 2)], axis=0)
+
+                def body(carry, v):
+                    return carry, apply_one(model, v, both)
+
+                return jax.lax.scan(body, None, stack)[1]  # [k, 2B, H, W]
+
+            self._scanned = (jax.jit(fwd), stack)
+            self._fns = None
+        else:
+            self._scanned = None
+            self._fns = [
+                (jax.jit(functools.partial(apply_one, model)), variables)
+                for model, variables in self.models
+            ]
 
     def predict(
         self, meta: Sequence[Tuple[str, str, np.ndarray, np.ndarray]]
@@ -184,14 +232,21 @@ class RefineEnsemble:
                 w = min(s.shape[1], self.resolution)
                 images[j, :h, :w] = s[:h, :w]
             x = jnp.asarray(images)
-            xt = jnp.swapaxes(x, 1, 2)
-            acc = None
-            for fn, variables in self._fns:
-                p = np.asarray(fn(variables, x))
-                pt = np.swapaxes(np.asarray(fn(variables, xt)), 1, 2)
-                contrib = (p + pt) / 2.0
-                acc = contrib if acc is None else acc + contrib
-            acc = acc / len(self._fns)
+            if self._scanned is not None:
+                fwd, stack = self._scanned
+                probs = np.asarray(fwd(stack, x), np.float32)  # [k, 2B, H, W]
+                p = probs[:, : self.batch]
+                pt = np.swapaxes(probs[:, self.batch :], 2, 3)
+                acc = (p + pt).mean(axis=0) / 2.0
+            else:
+                xt = jnp.swapaxes(x, 1, 2)
+                acc = None
+                for fn, variables in self._fns:
+                    p = np.asarray(fn(variables, x))
+                    pt = np.swapaxes(np.asarray(fn(variables, xt)), 1, 2)
+                    contrib = (p + pt) / 2.0
+                    acc = contrib if acc is None else acc + contrib
+                acc = acc / len(self._fns)
             for i, (qid, rid, qf, rf) in enumerate(chunk):
                 h = min(qf.shape[0], self.resolution)
                 w = min(rf.shape[0], self.resolution)

@@ -166,6 +166,88 @@ def build_pipeline(smoke: bool, timer=None):
     return pipe, sizes
 
 
+def measure_matching(smoke: bool, stage1_vps: float, n_queries: int = 24):
+    """Matching-track stages 2-6 (score-norm, recall, classify, SAM refine,
+    decode) over synthetic descriptors with planted copies; returns
+    (stages2_6 videos/s, combined-with-stage1 videos/s). Reference anchor:
+    M1 matching inference runs ~1 video/s on one A100 incl. the shared
+    stage-1 extraction (M1/README.md:79)."""
+    from vsc22_tpu.core.types import VideoFeature
+    from vsc22_tpu.models.hrnet import sam_hrnet_tiny_test, sam_hrnet_w18
+    from vsc22_tpu.models.mobilenetv3 import mobilenetv3_small
+    from vsc22_tpu.pipelines.matching_infer import (
+        CLS_RESOLUTION,
+        REFINE_RESOLUTION,
+        ClassifyEnsemble,
+        RefineEnsemble,
+        matching_inference,
+    )
+    from vsc22_tpu.retrieval.score_norm import (
+        query_score_normalize,
+        ref_score_normalize,
+    )
+
+    rng = np.random.default_rng(0)
+    frames, dim = 32, 512
+
+    def mk(prefix, count, start=0):
+        out = []
+        for i in range(count):
+            f = rng.standard_normal((frames, dim)).astype(np.float32)
+            f /= np.linalg.norm(f, axis=1, keepdims=True)
+            out.append(
+                VideoFeature(
+                    video_id=f"{prefix}{start + i:06d}",
+                    timestamps=np.arange(frames, dtype=np.float32),
+                    feature=f,
+                )
+            )
+        return out
+
+    queries, refs = mk("Q", n_queries), mk("R", 10 * n_queries)
+    noise = mk("R", 200, start=900000)
+    for i in range(max(2, n_queries // 10)):
+        span = min(12, frames - 4)
+        queries[i].feature[2 : 2 + span] = refs[i].feature[4 : 4 + span]
+        queries[i].feature /= np.linalg.norm(
+            queries[i].feature, axis=1, keepdims=True
+        )
+
+    cls_models, ref_models = [], []
+    for fold in range(2):
+        if smoke:
+            m, h = mobilenetv3_small(num_classes=2), sam_hrnet_tiny_test()
+        else:
+            m = mobilenetv3_small(num_classes=2, dtype=jnp.bfloat16)
+            h = sam_hrnet_w18(dtype=jnp.bfloat16)
+        cls_models.append(
+            (m, m.init(jax.random.PRNGKey(fold),
+                       jnp.zeros((1, CLS_RESOLUTION, CLS_RESOLUTION, 3))))
+        )
+        ref_models.append(
+            (h, h.init(jax.random.PRNGKey(10 + fold),
+                       jnp.zeros((1, REFINE_RESOLUTION, REFINE_RESOLUTION, 3))))
+        )
+    classify = ClassifyEnsemble(cls_models)
+    refine = RefineEnsemble(ref_models)
+    qlen = {v.video_id: frames for v in queries}
+
+    def run():
+        sn_q = query_score_normalize(queries, noise, beta=1.5, nk=10)
+        sn_r = ref_score_normalize(refs, noise, beta=1.5, nk=10)
+        return matching_inference(
+            queries, refs, sn_q, sn_r, qlen, classify, refine,
+            cls_keep_fraction=0.2, max_candidates=25 * n_queries,
+        )
+
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    run()
+    s26 = n_queries / (time.perf_counter() - t0)
+    combined = 1.0 / (1.0 / stage1_vps + 1.0 / s26)
+    return s26, combined
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny models (CPU check)")
@@ -173,6 +255,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8, help="videos per pipeline batch")
     ap.add_argument("--profile", action="store_true", help="per-stage timings to stderr")
     ap.add_argument("--passes", type=int, default=2, help="timed passes (best-of)")
+    ap.add_argument("--no_matching", action="store_true",
+                    help="skip the matching-track secondary measurement")
     args = ap.parse_args()
 
     from vsc22_tpu.retrieval.score_norm import query_score_normalize
@@ -247,20 +331,25 @@ def main():
     )
     fwd_videos_per_sec = 64 / sec / FRAMES_PER_VIDEO
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_query_pipeline_throughput",
-                "value": round(videos_per_sec, 3),
-                "unit": "videos/sec/chip",
-                "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
-                "secondary_flagship_forward_videos_per_sec": round(fwd_videos_per_sec, 3),
-                "pass_rates": [round(r, 3) for r in pass_rates],
-                "n_videos": len(videos),
-                "frames_per_video": FRAMES_PER_VIDEO,
-            }
+    result = {
+        "metric": "e2e_query_pipeline_throughput",
+        "value": round(videos_per_sec, 3),
+        "unit": "videos/sec/chip",
+        "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
+        "secondary_flagship_forward_videos_per_sec": round(fwd_videos_per_sec, 3),
+        "pass_rates": [round(r, 3) for r in pass_rates],
+        "n_videos": len(videos),
+        "frames_per_video": FRAMES_PER_VIDEO,
+    }
+    if not args.no_matching:
+        # Matching track, vs its own ~1 video/s A100 baseline (M1/README.md:79).
+        s26, combined = measure_matching(
+            args.smoke, videos_per_sec, n_queries=8 if args.smoke else 24
         )
-    )
+        result["matching_stages2_6_videos_per_sec"] = round(s26, 2)
+        result["matching_combined_videos_per_sec"] = round(combined, 2)
+        result["matching_vs_baseline_1vps"] = round(combined, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

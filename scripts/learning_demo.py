@@ -128,9 +128,10 @@ def main():
     ap.add_argument("--work_dir", default="/tmp/learning_demo")
     ap.add_argument("--n_train", type=int, default=1200)
     ap.add_argument("--n_val", type=int, default=300)
-    ap.add_argument("--epochs_a", type=int, default=12, help="first run segment")
-    ap.add_argument("--epochs_b", type=int, default=24, help="resumed total epochs")
+    ap.add_argument("--epochs_a", type=int, default=16, help="first run segment")
+    ap.add_argument("--epochs_b", type=int, default=48, help="resumed total epochs")
     ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--lr", default="4e-4")
     ap.add_argument(
         "--model", default="swinv2_tiny_test",
         choices=["swinv2_tiny_test", "vit_tiny_test"],
@@ -149,10 +150,12 @@ def main():
     if args.model == "swinv2_tiny_test":
         from vsc22_tpu.models.swinv2 import swinv2_tiny_test_descriptor
 
-        width = 32  # SWINV2_TINY_TEST img_size
-        model = swinv2_tiny_test_descriptor(output_dim=32)
-        model_overrides = ["model.type=swinv2_tiny_test", "model.output_dim=32",
-                           "img_width=32"]
+        width = 64  # 64² keeps the hard augs' structure visible
+        model = swinv2_tiny_test_descriptor(output_dim=32, img_size=64, window_size=8)
+        model_overrides = [
+            "model.type=swinv2_tiny_test", "model.output_dim=32",
+            "model.img_size=64", "model.window_size=8", "img_width=64",
+        ]
     else:
         from vsc22_tpu.models.vit import vit_tiny_test_descriptor
 
@@ -182,7 +185,7 @@ def main():
         "--work_dir", args.work_dir,
         "--batch_size", str(args.batch_size),
         "--num_workers", "8",
-        "--lr", "2e-4",
+        "--lr", str(args.lr),
         "--entropy_weight", "10",
         "--do_ema", "--do_fgm",
         "--print_freq", "5",

@@ -470,11 +470,21 @@ def swinv2_base_256_descriptor(dtype=jnp.bfloat16) -> SwinTransformerV2:
     return SwinTransformerV2(cfg=SWINV2_BASE_256, dtype=dtype)
 
 
-def swinv2_tiny_test_descriptor(dtype=jnp.float32, output_dim=None) -> SwinTransformerV2:
-    """Small config for unit tests and CPU smoke runs. `output_dim`
-    overrides the descriptor width (registry configs pass it through,
-    e.g. the learning demo trains a 32-d tiny model)."""
+def swinv2_tiny_test_descriptor(
+    dtype=jnp.float32, output_dim=None, img_size=None, window_size=None
+) -> SwinTransformerV2:
+    """Small config for unit tests and CPU smoke runs. `output_dim` /
+    `img_size` / `window_size` override the test config (registry configs
+    pass them through — e.g. the learning demo trains a 32-d model at 64²
+    so the hard augmentations keep visible structure)."""
     cfg = SWINV2_TINY_TEST
+    over = {}
     if output_dim is not None:
-        cfg = dataclasses.replace(cfg, output_dim=int(output_dim))
+        over["output_dim"] = int(output_dim)
+    if img_size is not None:
+        over["img_size"] = int(img_size)
+    if window_size is not None:
+        over["window_size"] = int(window_size)
+    if over:
+        cfg = dataclasses.replace(cfg, **over)
     return SwinTransformerV2(cfg=cfg, dtype=dtype)

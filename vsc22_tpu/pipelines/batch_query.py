@@ -104,6 +104,51 @@ class BatchedExtractor:
 
 
 @dataclasses.dataclass
+class _ScannedEnsemble:
+    """k same-architecture ensemble members in ONE compiled program.
+
+    Params stack on a leading axis and a `lax.scan` applies the shared
+    module per member inside a single jit — one dispatch chain per chunk
+    instead of k (each dispatch pays ~10-30 ms through a relay-attached
+    chip), with the Pallas block kernels still seeing unbatched shapes.
+    """
+
+    model: object
+    params_stack: object
+    chunk: int
+    timer: object
+    size: int
+    preset: str
+
+    def __post_init__(self):
+        def fwd(stack, images):
+            def body(carry, p):
+                return carry, self.model.apply(p, images, train=False)
+
+            return jax.lax.scan(body, None, stack)[1]
+
+        self._fwd = jax.jit(fwd)
+
+    def extract_concat_multi(self, batches: Sequence[jax.Array]) -> np.ndarray:
+        """[k, total, D] float32 for all members at once."""
+        total = sum(int(b.shape[0]) for b in batches)
+        with self.timer.stage(f"x{self.size}_dispatch"):
+            flat = jnp.concatenate(batches, axis=0) if len(batches) > 1 else batches[0]
+            outs = []
+            for start in range(0, total, self.chunk):
+                block = flat[start : start + self.chunk]
+                valid = block.shape[0]
+                if valid < self.chunk:
+                    block = jnp.concatenate(
+                        [block, jnp.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)]
+                    )
+                outs.append(self._fwd(self.params_stack, block)[:, :valid])
+            dev_out = jnp.concatenate(outs, axis=1).astype(jnp.float32)
+        with self.timer.stage(f"x{self.size}_fetch"):
+            return np.asarray(dev_out, np.float32)
+
+
+@dataclasses.dataclass
 class BatchedVED:
     """CLIP + video-score model over all videos at once."""
 
@@ -116,10 +161,21 @@ class BatchedVED:
 
     def __post_init__(self):
         self._clip_fwd = jax.jit(lambda p, im: self.clip_model.apply(p, im)[:, 0])
+        # CLIP features NEVER round-trip to the host: the flat [N, D] CLS
+        # features scatter into the [V, max_frames, D] VSM input on device
+        # (the old host pad cost a fetch + re-upload of ~8 MB per batch —
+        # ~0.4 s through the relay); only the [V] probabilities are fetched.
         self._vsm_fwd = jax.jit(
-            lambda p, feats: jax.nn.sigmoid(
-                self.vsm_model.apply(p, feats, train=False)
-            )
+            lambda p, flat, vid_idx, frame_idx, v: jax.nn.sigmoid(
+                self.vsm_model.apply(
+                    p,
+                    jnp.zeros(
+                        (v, self.max_frames, flat.shape[1]), jnp.float32
+                    ).at[vid_idx, frame_idx].set(flat.astype(jnp.float32)),
+                    train=False,
+                )
+            ),
+            static_argnames=("v",),
         )
 
     def scores(self, per_video_u8: Sequence[jax.Array]) -> List[float]:
@@ -139,16 +195,20 @@ class BatchedVED:
                     [block, jnp.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)]
                 )
             feats.append(self._clip_fwd(self.clip_params, block)[:valid])
-        feats = np.asarray(
-            jnp.concatenate(feats, axis=0).astype(jnp.float32), np.float32
+        feats_dev = jnp.concatenate(feats, axis=0)
+        vid_idx = np.repeat(np.arange(len(counts), dtype=np.int32), counts)
+        frame_idx = np.concatenate(
+            [np.arange(c, dtype=np.int32) for c in counts]
         )
-        dim = feats.shape[1]
-        padded = np.zeros((len(counts), self.max_frames, dim), np.float32)
-        cursor = 0
-        for i, cnt in enumerate(counts):
-            padded[i, :cnt] = feats[cursor : cursor + cnt]
-            cursor += cnt
-        probs = np.asarray(self._vsm_fwd(self.vsm_params, jnp.asarray(padded)))
+        probs = np.asarray(
+            self._vsm_fwd(
+                self.vsm_params,
+                feats_dev,
+                jnp.asarray(vid_idx),
+                jnp.asarray(frame_idx),
+                v=len(counts),
+            )
+        )
         return [float(p) for p in probs.reshape(-1)]
 
 
@@ -189,6 +249,34 @@ class BatchedQueryPipeline:
         for ext in self.extractors:
             ext.timer = timer
         self._weight_cache: Dict[Tuple[int, int, int, int], jax.Array] = {}
+
+        # Group consecutive identical-architecture extractors (the three
+        # SwinV2 members) into one scanned-ensemble program each.
+        self._groups: List[Tuple[List[BatchedExtractor], Optional[_ScannedEnsemble]]] = []
+        i = 0
+        while i < len(self.extractors):
+            j = i + 1
+            while (
+                j < len(self.extractors)
+                and self.extractors[j].model == self.extractors[i].model
+                and self.extractors[j].size == self.extractors[i].size
+                and self.extractors[j].preset == self.extractors[i].preset
+                and self.extractors[j].chunk == self.extractors[i].chunk
+            ):
+                j += 1
+            group = self.extractors[i:j]
+            ensemble = None
+            if len(group) > 1:
+                stack = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[e.params for e in group]
+                )
+                ensemble = _ScannedEnsemble(
+                    model=group[0].model, params_stack=stack,
+                    chunk=group[0].chunk, timer=timer,
+                    size=group[0].size, preset=group[0].preset,
+                )
+            self._groups.append((group, ensemble))
+            i = j
 
     def _weights(self, in_size: int, out_size: int, start: int, stop: int) -> jax.Array:
         """Device-cached cubic crop-resize weight matrix."""
@@ -356,7 +444,8 @@ class BatchedQueryPipeline:
         if edited:
             pre_cache: Dict[Tuple, List[jax.Array]] = {}
             per_model = []
-            for ext in self.extractors:
+            for group, ensemble in self._groups:
+                ext = group[0]
                 key = (ext.size, ext.preset, str(ext.model.dtype))
                 with self.timer.stage(f"preprocess_{key[0]}"):
                     if key not in pre_cache:
@@ -377,7 +466,11 @@ class BatchedQueryPipeline:
                             for (i, box) in edited
                         ]
                 with self.timer.stage(f"extract_{ext.size}_{ext.preset}"):
-                    per_model.append(_l2(ext.extract_concat(pre_cache[key])))
+                    if ensemble is None:
+                        per_model.append(_l2(ext.extract_concat(pre_cache[key])))
+                    else:
+                        multi = ensemble.extract_concat_multi(pre_cache[key])
+                        per_model.extend(_l2(multi[t]) for t in range(len(group)))
             concat = np.concatenate(per_model, axis=1)  # [sum frames, 2048]
         else:
             concat = np.zeros((0, 512 * len(self.extractors)), np.float32)

@@ -154,6 +154,52 @@ def test_batch_maps_match_per_video():
         np.testing.assert_allclose(bedges[i], edges_i, rtol=2e-3, atol=2e-3)
 
 
+def test_profile_screen_matches_map_path():
+    """The serving profile screen must reproduce the map path's decisions:
+    plain videos are screened as unchanged without any 2-D map, edited
+    videos are flagged, and the flagged-map fallback yields the exact boxes
+    `image_process_boxes` computes from the same batch maps."""
+    import jax.numpy as jnp
+
+    from vsc22_tpu.data import fsd
+
+    plain = np.stack(make_video(160, 200, n=8, seed=5))
+    boxed = np.stack(letterboxed(make_video(80, 200, n=8, seed=6), border=40))
+    stackv = np.stack(
+        stacked_vertical(
+            make_video(130, 200, n=8, seed=7), make_video(130, 200, n=8, seed=8),
+            gap=24,
+        )
+    )
+    # letterboxed: 80+2*40 = 160 rows; stacked: 130*2+24=284 rows
+    for videos, expect_plain in (
+        (np.stack([plain, plain]), True),
+        (np.stack([boxed, boxed]), False),
+    ):
+        maps_dev, profs = fsd.batch_maps_profiles_device(jnp.asarray(videos))
+        v, n, h, w = videos.shape[:4]
+        for j in range(v):
+            got = fsd.level0_boxes_from_profiles(profs[j], h, w, n)
+            if expect_plain:
+                assert got == [(0, h, 0, w)], got
+            else:
+                assert got is None  # flagged: must go through the map path
+                fetched = np.asarray(
+                    jnp.take(maps_dev, jnp.asarray([j, v + j]), axis=0),
+                    np.float32,
+                )
+                changed, boxes = fsd.image_process_boxes(
+                    list(videos[j]), precomputed_maps=(fetched[0], fetched[1])
+                )
+                assert changed and boxes[0] != (0, h, 0, w)
+
+    # the stacked composite must also be flagged (split path, not remove_edges)
+    maps_dev, profs = fsd.batch_maps_profiles_device(jnp.asarray(stackv[None]))
+    assert (
+        fsd.level0_boxes_from_profiles(profs[0], stackv.shape[1], 200, 8) is None
+    )
+
+
 def test_image_process_precomputed_maps_equivalent():
     from vsc22_tpu.data import fsd
 

@@ -162,6 +162,115 @@ def _batch_maps(stack, idx):
     return jnp.concatenate([var, edges], axis=0).astype(jnp.float16)
 
 
+@jax.jit
+def _batch_maps_profiles(stack, idx):
+    """Maps (f16, kept on device) + the level-0 decision profiles.
+
+    The profiles are computed from the f16-ROUNDED maps cast back to f32 so
+    they equal what the host would compute from a fetched f16 map (the only
+    residual difference is float reduction order). Pack layout per video:
+    [sum_h(W) | canny_h_re(W) | canny_h_sp(W) | sum_w(H) | canny_w_re(H) |
+     canny_w_sp(H) | sp_fea_mean] — `_re` profiles binarize at the
+    remove_edges threshold (mean+0.35), `_sp` at the split threshold
+    (mean+0.3), both clamped by the q95/0.2 rule the host cores use.
+    """
+    maps16 = _batch_maps(stack, idx)
+    v = stack.shape[0]
+    var32 = maps16[:v].astype(jnp.float32)
+    edge32 = maps16[v:].astype(jnp.float32)
+    sum_h = var32.mean(axis=1)  # [V, W] per-column variance profile
+    sum_w = var32.mean(axis=2)  # [V, H] per-row variance profile
+    q95 = jnp.quantile(edge32.reshape(v, -1), 0.95, axis=1)
+    emean = edge32.mean(axis=(1, 2))
+    thr_re = jnp.minimum(jnp.maximum(q95, 0.2), emean + 0.35)[:, None, None]
+    thr_sp = jnp.minimum(jnp.maximum(q95, 0.2), emean + 0.3)[:, None, None]
+    fea_re = (edge32 > thr_re).astype(jnp.float32)
+    fea_sp = (edge32 > thr_sp).astype(jnp.float32)
+    pack = jnp.concatenate(
+        [
+            sum_h, fea_re.mean(axis=1), fea_sp.mean(axis=1),
+            sum_w, fea_re.mean(axis=2), fea_sp.mean(axis=2),
+            fea_sp.mean(axis=(1, 2))[:, None],
+        ],
+        axis=1,
+    )
+    return maps16, pack
+
+
+def batch_maps_profiles_device(stack5d):
+    """Serving-path FSD maps: profiles fetched, full maps stay on device.
+
+    Returns (maps16_dev [2V, H, W] f16 jax.Array — NOT fetched — and a list
+    of per-video profile dicts). The level-0 cut decisions
+    (`level0_boxes_from_profiles`) need only the profiles (~3 KB/video);
+    only videos the screen flags ever pay the full-map fetch (~0.9 MB/video
+    through this environment's 40 MB/s relay).
+    """
+    maps16, pack_dev, dims = batch_maps_profiles_dispatch(stack5d)
+    pack = np.asarray(pack_dev, np.float32)  # ONE small host fetch
+    return maps16, unpack_profiles(pack, *dims)
+
+
+def batch_maps_profiles_dispatch(stack5d):
+    """Dispatch-only half of `batch_maps_profiles_device`: returns
+    (maps16_dev, pack_dev, (v, h, w)) with NO host sync, so callers can
+    queue more device work before paying the fetch."""
+    stack5d = jnp.asarray(stack5d)
+    v = int(stack5d.shape[0])
+    n = int(stack5d.shape[1])
+    h, w = int(stack5d.shape[2]), int(stack5d.shape[3])
+    idx = jnp.asarray(sample_edge_frames(n))
+    maps16, pack = _batch_maps_profiles(stack5d, idx)
+    return maps16, pack, (v, h, w)
+
+
+def unpack_profiles(pack: np.ndarray, v: int, h: int, w: int) -> List[dict]:
+    profs = []
+    for i in range(v):
+        row = pack[i]
+        profs.append(
+            dict(
+                sum_h=row[:w],
+                canny_h_re=row[w : 2 * w],
+                canny_h_sp=row[2 * w : 3 * w],
+                sum_w=row[3 * w : 3 * w + h],
+                canny_w_re=row[3 * w + h : 3 * w + 2 * h],
+                canny_w_sp=row[3 * w + 2 * h : 3 * w + 3 * h],
+                sp_mean=float(row[3 * w + 3 * h]),
+            )
+        )
+    return profs
+
+
+def level0_boxes_from_profiles(
+    prof: dict, h: int, w: int, num_frames: int
+) -> Optional[List[Box]]:
+    """Replay `clean_boxes`' level-0 decisions from profiles alone.
+
+    Returns the final box list when it is decidable without the 2-D maps
+    (the common no-edit case: remove_edges keeps the full frame and split
+    finds nothing), else None — the caller must then fetch the maps and run
+    the full `clean_boxes` recursion (sub-box profiles are not derivable
+    from full-frame profiles)."""
+    origin = (0, h, 0, w)
+    if num_frames < 5:
+        return [origin]
+    sh, eh, sw, ew = _remove_edges_core(
+        prof["sum_h"], prof["sum_w"], prof["canny_h_re"], prof["canny_w_re"], h, w
+    )
+    if min(eh - sh, ew - sw) < 20:
+        return [origin]
+    if (sh, eh, sw, ew) != origin:
+        return None
+    sub = _split_core(
+        prof["sum_h"], prof["sum_w"], prof["canny_h_sp"], prof["canny_w_sp"],
+        prof["sp_mean"], h, w, min_size=80,
+    )
+    if sub == [origin]:
+        return [origin]
+    return None
+
+
 def variance_and_edges_host(frames: Sequence[Array]) -> Tuple[Array, Array]:
     """Host path, exact reference arithmetic (cv2.Canny)."""
     stack = np.stack(frames)
@@ -200,13 +309,25 @@ def remove_edges_box(img_var: Array, avg_canny: Array) -> Box:
     sum_h = img_var.mean(0)  # per-column variance profile
     sum_w = img_var.mean(1)  # per-row variance profile
     h, w = img_var.shape
-    start_h, start_w = 0, 0
-    end_h, end_w = h, w
 
     threshold = min(max(np.quantile(avg_canny, 0.95), 0.2), avg_canny.mean() + 0.35)
     canny_fea = (avg_canny > threshold).astype(np.float32)
     canny_h = canny_fea.mean(0)
     canny_w = canny_fea.mean(1)
+    return _remove_edges_core(sum_h, sum_w, canny_h, canny_w, h, w)
+
+
+def _remove_edges_core(
+    sum_h: Array, sum_w: Array, canny_h: Array, canny_w: Array, h: int, w: int
+) -> Box:
+    """remove_edges decision from the 1-D profiles alone.
+
+    The serving path computes these profiles ON DEVICE and fetches only
+    them (~KB instead of the full H*W maps) — the logic here is the single
+    source of truth for both the map path and the profile fast path.
+    """
+    start_h, start_w = 0, 0
+    end_h, end_w = h, w
 
     MEAN_C = 0.0225
     EXTRA = 0.3
@@ -282,9 +403,24 @@ def split_boxes(
     Pass 3: strong full-line edges split along the larger axis first.
     Returns sub-stream boxes, or the full box as a singleton.
     """
-    sum_h = img_var.mean(0)
-    sum_w = img_var.mean(1)
     h, w = img_var.shape
+    threshold = min(max(np.quantile(avg_canny, 0.95), 0.2), avg_canny.mean() + 0.3)
+    canny_fea = (avg_canny > threshold).astype(np.float32)
+    return _split_core(
+        img_var.mean(0), img_var.mean(1),
+        canny_fea.mean(0), canny_fea.mean(1), float(canny_fea.mean()),
+        h, w, gap, min_size,
+    )
+
+
+def _split_core(
+    sum_h: Array, sum_w: Array, canny_h: Array, canny_w: Array,
+    fea_mean: float, h: int, w: int, gap: int = 5, min_size: int = 120
+) -> List[Box]:
+    """split_boxes decision from 1-D profiles of the maps + the binarized-map
+    mean (profiles of `canny_fea` at the split threshold q95/+0.3, NOT the
+    remove_edges +0.35 threshold). Shared by the map path and the serving
+    profile fast path."""
     half_gap = gap // 2
     res: List[Box] = []
 
@@ -319,12 +455,8 @@ def split_boxes(
         if res:
             return res
 
-    threshold = min(max(np.quantile(avg_canny, 0.95), 0.2), avg_canny.mean() + 0.3)
-    canny_fea = (avg_canny > threshold).astype(np.float32)
-    canny_h = canny_fea.mean(0)
-    canny_w = canny_fea.mean(1)
-    rows = list(np.where(canny_w > 0.45 + canny_fea.mean())[0])[::-1]
-    cols = list(np.where(canny_h > 0.45 + canny_fea.mean())[0])[::-1]
+    rows = list(np.where(canny_w > 0.45 + fea_mean)[0])[::-1]
+    cols = list(np.where(canny_h > 0.45 + fea_mean)[0])[::-1]
 
     def cut_rows(end=h):
         for idx in rows:

@@ -82,8 +82,8 @@ class BatchedExtractor:
             frames_u8, self.size, self.preset, out_dtype=self.model.dtype
         )
 
-    def extract_concat(self, batches: Sequence[jax.Array]) -> np.ndarray:
-        """Forward pre-processed per-video tensors as cross-video chunks."""
+    def extract_dispatch(self, batches: Sequence[jax.Array]) -> jax.Array:
+        """Dispatch all chunk forwards; returns the DEVICE output handle."""
         total = sum(int(b.shape[0]) for b in batches)
         with self.timer.stage(f"x{self.size}_dispatch"):
             flat = jnp.concatenate(batches, axis=0) if len(batches) > 1 else batches[0]
@@ -96,9 +96,16 @@ class BatchedExtractor:
                         [block, jnp.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)]
                     )
                 outs.append(self._fwd(self.params, block)[:valid])
-            dev_out = jnp.concatenate(outs, axis=0).astype(jnp.float32)
-        # One device-side concat + one host fetch: chunk dispatches stay
-        # async and the host pays a single sync (30ms/fetch on the relay).
+            return jnp.concatenate(outs, axis=0).astype(jnp.float32)
+
+    def extract_concat(self, batches: Sequence[jax.Array]) -> np.ndarray:
+        """Forward pre-processed per-video tensors as cross-video chunks.
+
+        Dispatches stay async; the host pays a single fetch. The serving
+        pipeline dispatches EVERY extractor group before fetching any
+        (BatchedQueryPipeline._extract_finish) so the device queue never
+        drains between groups."""
+        dev_out = self.extract_dispatch(batches)
         with self.timer.stage(f"x{self.size}_fetch"):
             return np.asarray(dev_out, np.float32)
 
@@ -129,8 +136,8 @@ class _ScannedEnsemble:
 
         self._fwd = jax.jit(fwd)
 
-    def extract_concat_multi(self, batches: Sequence[jax.Array]) -> np.ndarray:
-        """[k, total, D] float32 for all members at once."""
+    def extract_dispatch(self, batches: Sequence[jax.Array]) -> jax.Array:
+        """Dispatch all members' chunk forwards; DEVICE handle [k, total, D]."""
         total = sum(int(b.shape[0]) for b in batches)
         with self.timer.stage(f"x{self.size}_dispatch"):
             flat = jnp.concatenate(batches, axis=0) if len(batches) > 1 else batches[0]
@@ -143,7 +150,11 @@ class _ScannedEnsemble:
                         [block, jnp.zeros((self.chunk - valid,) + block.shape[1:], block.dtype)]
                     )
                 outs.append(self._fwd(self.params_stack, block)[:, :valid])
-            dev_out = jnp.concatenate(outs, axis=1).astype(jnp.float32)
+            return jnp.concatenate(outs, axis=1).astype(jnp.float32)
+
+    def extract_concat_multi(self, batches: Sequence[jax.Array]) -> np.ndarray:
+        """[k, total, D] float32 for all members at once."""
+        dev_out = self.extract_dispatch(batches)
         with self.timer.stage(f"x{self.size}_fetch"):
             return np.asarray(dev_out, np.float32)
 
@@ -178,12 +189,29 @@ class BatchedVED:
             static_argnames=("v",),
         )
 
-    def scores(self, per_video_u8: Sequence[jax.Array]) -> List[float]:
+    def scores_async(self, per_video_u8: Sequence[jax.Array]) -> jax.Array:
+        """Dispatch the whole CLIP+VSM chain; returns DEVICE probabilities.
+
+        No host sync happens here — the caller can queue further device
+        work (e.g. the FSD map programs) behind the dispatches and pay one
+        merged wait instead of two sequential relay stalls."""
         size = self.clip_model.cfg.img_size
-        pre = [
-            clip_preprocess(v[: self.max_frames], size, out_dtype=self.clip_model.dtype)
-            for v in per_video_u8
-        ]
+        # Shape-grouped preprocess: videos sharing [N, H, W] resize in ONE
+        # dispatch (a [V*N, H, W, 3] flatten), not one per video.
+        by_shape: Dict[Tuple, List[int]] = {}
+        for i, v in enumerate(per_video_u8):
+            by_shape.setdefault(tuple(v.shape), []).append(i)
+        pre: List[Optional[jax.Array]] = [None] * len(per_video_u8)
+        for shape, idxs in by_shape.items():
+            n = min(int(shape[0]), self.max_frames)
+            stack = jnp.stack([per_video_u8[i][: self.max_frames] for i in idxs])
+            flat = clip_preprocess(
+                stack.reshape((-1,) + stack.shape[2:]), size,
+                out_dtype=self.clip_model.dtype,
+            )
+            blocks = flat.reshape((len(idxs), n) + flat.shape[1:])
+            for j, i in enumerate(idxs):
+                pre[i] = blocks[j]
         counts = [int(p.shape[0]) for p in pre]
         flat = jnp.concatenate(pre, axis=0)
         feats = []
@@ -200,15 +228,16 @@ class BatchedVED:
         frame_idx = np.concatenate(
             [np.arange(c, dtype=np.int32) for c in counts]
         )
-        probs = np.asarray(
-            self._vsm_fwd(
-                self.vsm_params,
-                feats_dev,
-                jnp.asarray(vid_idx),
-                jnp.asarray(frame_idx),
-                v=len(counts),
-            )
+        return self._vsm_fwd(
+            self.vsm_params,
+            feats_dev,
+            jnp.asarray(vid_idx),
+            jnp.asarray(frame_idx),
+            v=len(counts),
         )
+
+    def scores(self, per_video_u8: Sequence[jax.Array]) -> List[float]:
+        probs = np.asarray(self.scores_async(per_video_u8))
         return [float(p) for p in probs.reshape(-1)]
 
 
@@ -352,39 +381,87 @@ class BatchedQueryPipeline:
         if device_videos is None:
             device_videos = [jnp.asarray(np.asarray(v, np.uint8)) for v in videos_u8]
 
-        # Stage 1: VED scores for every video in one batched pass.
-        with self.timer.stage("ved"):
+        # Stage 1+2 dispatch: the CLIP+VSM chain AND the FSD map programs
+        # all enter the device queue before the first host sync — one merged
+        # relay wait instead of sequential per-stage stalls. FSD maps are
+        # dispatched for every video (the VED score gate is applied after
+        # the probabilities arrive; map work for the rare gated-out video is
+        # wasted device time but never blocks the host).
+        probs_dev = None
+        with self.timer.stage("ved_dispatch"):
             if self.ved is not None:
-                scores = self.ved.scores(device_videos)
+                probs_dev = self.ved.scores_async(device_videos)
+        handles = []
+        if self.use_fsd and self.use_device_fsd_maps:
+            by_shape: Dict[Tuple, List[int]] = {}
+            for i, vid_dev in enumerate(device_videos):
+                by_shape.setdefault(tuple(vid_dev.shape), []).append(i)
+            with self.timer.stage("fsd_maps_dispatch"):
+                for shape, idxs in by_shape.items():
+                    stack = jnp.stack([device_videos[i] for i in idxs])
+                    maps_dev, pack_dev, dims = fsd.batch_maps_profiles_dispatch(
+                        stack
+                    )
+                    handles.append((shape, idxs, maps_dev, pack_dev, dims))
+
+        with self.timer.stage("ved"):
+            if probs_dev is not None:
+                scores = [float(p) for p in np.asarray(probs_dev).reshape(-1)]
             else:
                 scores = [1.0] * len(device_videos)
         for name, s in zip(names, scores):
             self.video_scores[name] = s
 
-        # Stage 2: FSD per video — maps on device, cut decisions on host.
-        # Each video becomes a list of constant-shape sub-streams (scene
-        # crops differ in resolution; each preprocesses independently).
+        # Stage 2: FSD cut decisions — only the ~3 KB/video level-0
+        # profiles are fetched; the full 2-D maps (~0.9 MB/video through
+        # the relay) ship only for videos the profile screen flags as
+        # possibly edited. Each edited video becomes a list of
+        # constant-shape sub-streams.
         proc: List[Optional[List[jax.Array]]] = []
         frame_counts: List[int] = []
         full_ts: List[np.ndarray] = []
         edited_idx: List[int] = []
         fsd_cm = self.timer.stage("fsd")
         fsd_cm.__enter__()
-        # Batched FSD maps: videos sharing [N, H, W] run as ONE device
-        # program with ONE host fetch (per-video fetches pay the relay's
-        # ~30 ms floor each and serialize the whole stage).
         batch_maps: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        if self.use_fsd and self.use_device_fsd_maps:
-            by_shape: Dict[Tuple, List[int]] = {}
-            for i, vid_dev in enumerate(device_videos):
-                if scores[i] >= self.score_threshold:
-                    by_shape.setdefault(tuple(vid_dev.shape), []).append(i)
-            with self.timer.stage("fsd_maps_device"):
-                for shape, idxs in by_shape.items():
-                    stack = jnp.stack([device_videos[i] for i in idxs])
-                    var, edges = fsd.variance_and_edges_device_batch(stack)
+        screened_plain: set = set()
+        if handles:
+            with self.timer.stage("fsd_screen"):
+                handles = [
+                    (shape, idxs, maps_dev, fsd.unpack_profiles(
+                        np.asarray(pack_dev, np.float32), *dims))
+                    for shape, idxs, maps_dev, pack_dev, dims in handles
+                ]
+                for shape, idxs, maps_dev, profs in handles:
+                    n_f, h, w = shape[0], shape[1], shape[2]
+                    flagged: List[int] = []
                     for j, i in enumerate(idxs):
-                        batch_maps[i] = (var[j], edges[j])
+                        if scores[i] < self.score_threshold:
+                            continue  # placeholder video: no boxes needed
+                        boxes0 = None
+                        try:
+                            boxes0 = fsd.level0_boxes_from_profiles(
+                                profs[j], h, w, n_f
+                            )
+                        except Exception:
+                            boxes0 = None
+                        if boxes0 is not None:
+                            # Screen only ever decides "no edit" (the full
+                            # box); any cut goes through the map path.
+                            screened_plain.add(i)
+                        else:
+                            flagged.append(j)
+                    if flagged:
+                        v = len(idxs)
+                        sel = jnp.asarray(
+                            [j for j in flagged] + [v + j for j in flagged]
+                        )
+                        fetched = np.asarray(
+                            jnp.take(maps_dev, sel, axis=0), np.float32
+                        )
+                        k = len(flagged)
+                        for t, j in enumerate(flagged):
+                            batch_maps[idxs[j]] = (fetched[t], fetched[k + t])
         for i, (vid_dev, ts) in enumerate(zip(device_videos, timestamps)):
             if scores[i] < self.score_threshold:
                 proc.append(None)
@@ -395,7 +472,7 @@ class BatchedQueryPipeline:
             n_in = int(vid_dev.shape[0])
             h, w = int(vid_dev.shape[1]), int(vid_dev.shape[2])
             boxes = [(0, h, 0, w)]
-            if self.use_fsd:
+            if self.use_fsd and i not in screened_plain:
                 try:
                     changed, fsd_boxes = fsd.image_process_boxes(
                         videos_u8[i],
@@ -443,7 +520,9 @@ class BatchedQueryPipeline:
         edited = [s for i in edited_idx for s in proc[i]]
         if edited:
             pre_cache: Dict[Tuple, List[jax.Array]] = {}
-            per_model = []
+            # Phase A: dispatch EVERY group's preprocessing + chunk forwards
+            # (no sync) — the device queue holds all extractor work at once.
+            pending = []
             for group, ensemble in self._groups:
                 ext = group[0]
                 key = (ext.size, ext.preset, str(ext.model.dtype))
@@ -465,12 +544,21 @@ class BatchedQueryPipeline:
                             )
                             for (i, box) in edited
                         ]
+                target = ensemble if ensemble is not None else ext
+                pending.append(
+                    (group, ensemble, target.extract_dispatch(pre_cache[key]))
+                )
+            # Phase B: fetch in dispatch order — each fetch overlaps the
+            # still-running later groups' device work.
+            per_model = []
+            for group, ensemble, dev_out in pending:
+                ext = group[0]
                 with self.timer.stage(f"extract_{ext.size}_{ext.preset}"):
-                    if ensemble is None:
-                        per_model.append(_l2(ext.extract_concat(pre_cache[key])))
-                    else:
-                        multi = ensemble.extract_concat_multi(pre_cache[key])
-                        per_model.extend(_l2(multi[t]) for t in range(len(group)))
+                    got = np.asarray(dev_out, np.float32)
+                if ensemble is None:
+                    per_model.append(_l2(got))
+                else:
+                    per_model.extend(_l2(got[t]) for t in range(len(group)))
             concat = np.concatenate(per_model, axis=1)  # [sum frames, 2048]
         else:
             concat = np.zeros((0, 512 * len(self.extractors)), np.float32)

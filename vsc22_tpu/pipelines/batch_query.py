@@ -404,11 +404,28 @@ class BatchedQueryPipeline:
                     )
                     handles.append((shape, idxs, maps_dev, pack_dev, dims))
 
+        # One merged fetch: VED probabilities + every group's profile pack
+        # come back in a single relay round trip (~25 ms floor per sync).
+        packs_np: List[Optional[np.ndarray]] = [None] * len(handles)
         with self.timer.stage("ved"):
+            parts = [] if probs_dev is None else [probs_dev.reshape(-1)]
+            for _, _, _, pack_dev, _ in handles:
+                parts.append(pack_dev.reshape(-1))
+            if parts:
+                flat = np.asarray(
+                    jnp.concatenate(parts) if len(parts) > 1 else parts[0],
+                    np.float32,
+                )
+            cursor = 0
             if probs_dev is not None:
-                scores = [float(p) for p in np.asarray(probs_dev).reshape(-1)]
+                scores = [float(p) for p in flat[: len(device_videos)]]
+                cursor = len(device_videos)
             else:
                 scores = [1.0] * len(device_videos)
+            for gi, (_, _, _, pack_dev, _) in enumerate(handles):
+                size = int(np.prod(pack_dev.shape))
+                packs_np[gi] = flat[cursor : cursor + size].reshape(pack_dev.shape)
+                cursor += size
         for name, s in zip(names, scores):
             self.video_scores[name] = s
 
@@ -429,8 +446,9 @@ class BatchedQueryPipeline:
             with self.timer.stage("fsd_screen"):
                 handles = [
                     (shape, idxs, maps_dev, fsd.unpack_profiles(
-                        np.asarray(pack_dev, np.float32), *dims))
-                    for shape, idxs, maps_dev, pack_dev, dims in handles
+                        packs_np[gi], *dims))
+                    for gi, (shape, idxs, maps_dev, pack_dev, dims)
+                    in enumerate(handles)
                 ]
                 for shape, idxs, maps_dev, profs in handles:
                     n_f, h, w = shape[0], shape[1], shape[2]
@@ -548,17 +566,26 @@ class BatchedQueryPipeline:
                 pending.append(
                     (group, ensemble, target.extract_dispatch(pre_cache[key]))
                 )
-            # Phase B: fetch in dispatch order — each fetch overlaps the
-            # still-running later groups' device work.
+            # Phase B: ONE device-side concat + ONE fetch for every group —
+            # each relay sync costs ~25 ms regardless of size, so all
+            # descriptors come back in a single round trip.
+            with self.timer.stage("extract_fetch"):
+                flats = [
+                    dev_out.reshape(-1, dev_out.shape[-1])
+                    for _, _, dev_out in pending
+                ]
+                fetched = np.asarray(jnp.concatenate(flats, axis=0), np.float32)
             per_model = []
-            for group, ensemble, dev_out in pending:
-                ext = group[0]
-                with self.timer.stage(f"extract_{ext.size}_{ext.preset}"):
-                    got = np.asarray(dev_out, np.float32)
+            cursor = 0
+            n_frames = len(fetched) // len(self.extractors)
+            for group, ensemble, _ in pending:
                 if ensemble is None:
-                    per_model.append(_l2(got))
+                    per_model.append(_l2(fetched[cursor : cursor + n_frames]))
+                    cursor += n_frames
                 else:
-                    per_model.extend(_l2(got[t]) for t in range(len(group)))
+                    for _ in group:
+                        per_model.append(_l2(fetched[cursor : cursor + n_frames]))
+                        cursor += n_frames
             concat = np.concatenate(per_model, axis=1)  # [sum frames, 2048]
         else:
             concat = np.zeros((0, 512 * len(self.extractors)), np.float32)

@@ -37,10 +37,16 @@ from jax.experimental.pallas import tpu as pltpu
 def _make_kernel(num_heads: int, head_dim: int, group: int, valid: int):
     ghd = group * head_dim
 
-    def _kernel(qt_ref, kt_ref, vt_ref, out_ref, kp_ref):
+    def _kernel(qt_ref, kt_ref, vt_ref, out_ref, kp0_ref, kp1_ref):
         lp = qt_ref.shape[2]
-
-        def head_group(g_i, carry):
+        # Python-unrolled head groups with ALTERNATING block-diagonal K
+        # scratch: a single scratch buffer serializes group g+1's packing
+        # behind group g's logits GEMM (RAW on the scratch); two buffers
+        # let Mosaic overlap the next group's VMEM packing with the
+        # current group's MXU work.
+        kps = (kp0_ref, kp1_ref)
+        for g_i in range(num_heads // group):
+            kp_ref = kps[g_i % 2]
             row0 = g_i * ghd
             kp_ref[:] = jnp.zeros((ghd, group * lp), kt_ref.dtype)
             for u in range(group):
@@ -68,9 +74,6 @@ def _make_kernel(num_heads: int, head_dim: int, group: int, valid: int):
                         preferred_element_type=jnp.float32,
                     ).astype(out_ref.dtype)
                 )
-            return carry
-
-        jax.lax.fori_loop(0, num_heads // group, head_group, 0)
 
     return _kernel
 
@@ -108,6 +111,7 @@ def packed_attention(
         out_shape=jax.ShapeDtypeStruct((b, c, lp), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((group * hd, group * lp), q.dtype),  # block-diag K
+            pltpu.VMEM((group * hd, group * lp), q.dtype),  # (alternating)
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,

@@ -90,12 +90,12 @@ def _make_kernel(g_windows: int, num_heads: int, head_dim: int,
         *rest,  # [mask_ref if apply_mask,] out_ref, qt, kt, vt
     ):
         if apply_mask:
-            mask_ref, out_ref, qt_ref, kt_ref, vt_ref, kp_ref, ot_ref = rest
+            mask_ref, out_ref, qt_ref, kt_ref, vt_ref, kp_ref, kp2_ref, ot_ref = rest
         else:
             # Unshifted blocks never ship a mask operand (saves VMEM and
             # allows window groups untied to the shift-mask period).
             mask_ref = None
-            out_ref, qt_ref, kt_ref, vt_ref, kp_ref, ot_ref = rest
+            out_ref, qt_ref, kt_ref, vt_ref, kp_ref, kp2_ref, ot_ref = rest
         h = num_heads
         hd = head_dim
         n = x_ref.shape[2]
@@ -133,7 +133,11 @@ def _make_kernel(g_windows: int, num_heads: int, head_dim: int,
                 ) + bv_ref[:]
             ).astype(x.dtype)
 
-            def head_group(g_i, carry2):
+            # Python-unrolled head groups with ALTERNATING block-diagonal
+            # K scratch: one buffer serializes group g+1's VMEM packing
+            # behind group g's logits GEMM; two buffers let Mosaic overlap
+            # packing with MXU work (same trick as ops/pallas_attn).
+            def head_group(g_i, kp_ref):
                 row0 = g_i * ghd
                 # Normalize the whole group's q rows (per-head 32-row norms).
                 qg = qt_ref[pl.ds(row0, ghd), :]  # [ghd, N] f32
@@ -175,9 +179,9 @@ def _make_kernel(g_windows: int, num_heads: int, head_dim: int,
                         vh, probs, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(x.dtype)
-                return carry2
 
-            jax.lax.fori_loop(0, h // group, head_group, 0)
+            for g_i in range(h // group):
+                head_group(g_i, kp_ref if g_i % 2 == 0 else kp2_ref)
 
             # Dense transposed projection: [C,C]x[C,N] at K=C, then LN over
             # the C (sublane) axis and ONE transpose back to [N, C].
@@ -223,7 +227,8 @@ def _vmem_estimate(
     rpb = h * n * n * 4
     mask = 2 * g * n * n * 4 if apply_mask else 0
     temps = n * f * 4 + 4 * n * n * 4 + 8 * n * c * 4
-    return x_out + weights + rpb + mask + temps
+    kp = 2 * 128 * 4 * n * itemsize  # two alternating block-diag K buffers
+    return x_out + weights + rpb + mask + temps + kp
 
 
 def hd_bytes(c: int, h: int) -> int:
@@ -355,6 +360,7 @@ def swin_block_fused(
             pltpu.VMEM((c, n), jnp.float32),  # k
             pltpu.VMEM((c, n), x.dtype),  # v
             pltpu.VMEM((group * hd, group * n), x.dtype),  # block-diag K pack
+            pltpu.VMEM((group * hd, group * n), x.dtype),  # (alternating)
             pltpu.VMEM((c, n), x.dtype),  # attention output (transposed)
         ],
     )

@@ -342,11 +342,14 @@ class BatchedQueryPipeline:
     ) -> List[VideoFeature]:
         """Pipelined multi-batch processing.
 
-        Batch i+1's gating stage (VED scores, FSD maps + host cut decisions)
-        runs on a worker thread while batch i's extraction stage holds the
-        main thread — the extraction fetches are relay I/O that release the
-        GIL, so the next batch's host work and device dispatches hide under
-        them instead of stalling the chip between batches.
+        The device queue must never drain between batches: batch i+1's
+        gating dispatches (CLIP+VSM chain, FSD map programs) enter the
+        queue on the main thread BEFORE batch i's extraction fetch blocks,
+        so the chip rolls straight from batch i's extraction into batch
+        i+1's gating. The gating FETCH + host cut decisions run on a
+        worker thread under batch i's extraction fetch (relay I/O releases
+        the GIL); by the time extraction returns, batch i+1 is ready to
+        dispatch its own extraction.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -354,9 +357,9 @@ class BatchedQueryPipeline:
             (lo, min(lo + batch, len(names))) for lo in range(0, len(names), batch)
         ]
 
-        def prep(span):
+        def dispatch(span):
             lo, hi = span
-            return self._prepare(
+            return self._prepare_dispatch(
                 names[lo:hi],
                 videos_u8[lo:hi],
                 None,
@@ -365,15 +368,28 @@ class BatchedQueryPipeline:
 
         out: List[VideoFeature] = []
         with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(prep, spans[0])
-            for nxt in spans[1:] + [None]:
-                ctx = fut.result()
-                if nxt is not None:
-                    fut = pool.submit(prep, nxt)
+            ctx = self._prepare_finish(dispatch(spans[0]))
+            fut = None
+            for i in range(len(spans)):
+                if i + 1 < len(spans):
+                    fut = pool.submit(self._prepare_finish, dispatch(spans[i + 1]))
                 out.extend(self._extract_finish(ctx))
+                if i + 1 < len(spans):
+                    ctx = fut.result()
         return out
 
     def _prepare(self, names, videos_u8, timestamps=None, device_videos=None):
+        return self._prepare_finish(
+            self._prepare_dispatch(names, videos_u8, timestamps, device_videos)
+        )
+
+    def _prepare_dispatch(self, names, videos_u8, timestamps=None, device_videos=None):
+        """Device-dispatch half of batch preparation: NO host sync.
+
+        Ships frames (unless pre-staged) and enqueues the CLIP+VSM chain
+        and the FSD map programs; everything a later batch needs in the
+        device queue before the current batch's extraction fetch blocks.
+        """
         if timestamps is None:
             timestamps = [list(range(len(v))) for v in videos_u8]
 
@@ -403,6 +419,23 @@ class BatchedQueryPipeline:
                         stack
                     )
                     handles.append((shape, idxs, maps_dev, pack_dev, dims))
+        return dict(
+            names=names,
+            videos_u8=videos_u8,
+            timestamps=timestamps,
+            device_videos=device_videos,
+            probs_dev=probs_dev,
+            handles=handles,
+        )
+
+    def _prepare_finish(self, disp):
+        """Host half: merged gating fetch + FSD cut decisions."""
+        names = disp["names"]
+        videos_u8 = disp["videos_u8"]
+        timestamps = disp["timestamps"]
+        device_videos = disp["device_videos"]
+        probs_dev = disp["probs_dev"]
+        handles = disp["handles"]
 
         # One merged fetch: VED probabilities + every group's profile pack
         # come back in a single relay round trip (~25 ms floor per sync).

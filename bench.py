@@ -260,9 +260,10 @@ def main():
                     help="corpus size per pass; large enough that the "
                     "3-deep pipeline's fill/drain is amortized as in "
                     "production serving (corpora are millions of videos)")
-    ap.add_argument("--batch", type=int, default=16,
-                    help="videos per pipeline batch (16 amortizes per-batch "
-                    "sync floors best on the measured relay)")
+    ap.add_argument("--batch", type=int, default=24,
+                    help="videos per pipeline batch (24 measured best on "
+                    "the relay: amortizes per-batch sync floors and keeps "
+                    "the device queue deep across batch boundaries)")
     ap.add_argument("--profile", action="store_true", help="per-stage timings to stderr")
     ap.add_argument("--passes", type=int, default=3, help="timed passes (best-of)")
     ap.add_argument("--no_matching", action="store_true",

@@ -107,6 +107,58 @@ def test_batched_placeholder_sequence(parts):
         assert f.timestamps.shape == (1, 2)
 
 
+def test_heterogeneous_descriptor_dims(parts):
+    """Ensemble members with DIFFERENT output dims (bench --smoke layout:
+    16-d ViT + two scanned 8-d swins) survive the merged extract fetch —
+    regression for the flat-merge slicing in _extract_finish."""
+    from vsc22_tpu.models.swinv2 import SWINV2_TINY_TEST, SwinTransformerV2
+
+    models, pca, (cm, cp, vm, vp) = parts
+    vit_m, vit_p = models[0]
+    swins = []
+    for seed in (5, 6):
+        m = SwinTransformerV2(cfg=SWINV2_TINY_TEST)
+        p = m.init(jax.random.PRNGKey(seed), jnp.zeros((1, 32, 32, 3)), train=False)
+        swins.append((m, p))
+    extractors = [
+        BatchedExtractor(model=vit_m, params=vit_p, size=64, preset="vit", chunk=4)
+    ] + [
+        BatchedExtractor(model=m, params=p, size=32, preset="vit", chunk=4)
+        for m, p in swins
+    ]
+    feat_dim = 16 + 2 * swins[0][0].cfg.output_dim
+    rng = np.random.default_rng(3)
+    pca_h = pca_fit(rng.standard_normal((100, feat_dim)).astype(np.float32), 8)
+    pipe = BatchedQueryPipeline(
+        extractors, pca=pca_h, ved=None, use_fsd=False,
+        score_threshold=0.0, out_dim=8,
+    )
+    assert len(pipe._groups) == 2 and pipe._groups[1][1] is not None  # scanned
+    videos = make_videos(k=3)
+    names = [f"Q{i:06d}" for i in range(len(videos))]
+    out = pipe.process_batch(names, videos)
+    assert [f.video_id for f in out] == names
+    for f in out:
+        assert f.feature.shape[1] == 8
+        assert np.isfinite(f.feature).all()
+    # per-member concat order: recompute member 0's L2 block independently
+    pre = [extractors[0].preprocess(jnp.asarray(v)) for v in videos]
+    direct = np.concatenate(
+        [np.asarray(extractors[0].extract_dispatch([p]), np.float32) for p in pre]
+    )
+    direct /= np.maximum(np.linalg.norm(direct, axis=1, keepdims=True), 1e-12)
+    merged = np.concatenate([
+        np.asarray(
+            pipe._groups[0][0][0].extract_dispatch(
+                [extractors[0].preprocess(jnp.asarray(v)) for v in videos]
+            ),
+            np.float32,
+        )
+    ])
+    merged /= np.maximum(np.linalg.norm(merged, axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(direct, merged, atol=1e-5)
+
+
 def test_process_many_matches_process_batch(parts):
     models, pca, (cm, cp, vm, vp) = parts
     videos = make_videos(k=5)

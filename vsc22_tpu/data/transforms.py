@@ -160,10 +160,19 @@ def crop_resize_normalize(
     out_dtype=jnp.float32,
 ) -> jax.Array:
     """Crop+resize+normalize as two dense MXU einsums, shape-static in the
-    original frame size (the crop lives in the weight matrices)."""
+    original frame size (the crop lives in the weight matrices).
+
+    Layout note: the row pass contracts h against [h, w*c]-contiguous
+    frames (a clean GEMM); the column pass would contract w at stride
+    c=3, which XLA lowers to N=3 sliver GEMMs — so the intermediate is
+    transposed to [n, s, c, w] first and the column pass runs as a
+    [s*c, w] x [w, t] GEMM, with one cheap minor transpose back at the
+    end."""
     mean, std = PRESETS[preset]
     x = frames_u8.astype(jnp.float32) / 255.0
     y = jnp.einsum("nhwc,hs->nswc", x, row_w, preferred_element_type=jnp.float32)
-    y = jnp.einsum("nswc,wt->nstc", y, col_w, preferred_element_type=jnp.float32)
+    y = jnp.einsum("nscw,wt->nsct", y.transpose(0, 1, 3, 2), col_w,
+                   preferred_element_type=jnp.float32)
+    y = y.transpose(0, 1, 3, 2)  # [n, s, t, c]
     y = (y - jnp.asarray(mean)) / jnp.asarray(std)
     return y.astype(out_dtype)

@@ -601,24 +601,31 @@ class BatchedQueryPipeline:
                 )
             # Phase B: ONE device-side concat + ONE fetch for every group —
             # each relay sync costs ~25 ms regardless of size, so all
-            # descriptors come back in a single round trip.
+            # descriptors come back in a single round trip. Groups may have
+            # heterogeneous descriptor dims, so the merge is flat 1-D and
+            # each group is sliced back out by its own element count.
             with self.timer.stage("extract_fetch"):
-                flats = [
-                    dev_out.reshape(-1, dev_out.shape[-1])
-                    for _, _, dev_out in pending
-                ]
-                fetched = np.asarray(jnp.concatenate(flats, axis=0), np.float32)
+                flats = [dev_out.reshape(-1) for _, _, dev_out in pending]
+                fetched_flat = np.asarray(
+                    jnp.concatenate(flats) if len(flats) > 1 else flats[0],
+                    np.float32,
+                )
             per_model = []
             cursor = 0
-            n_frames = len(fetched) // len(self.extractors)
-            for group, ensemble, _ in pending:
+            for group, ensemble, dev_out in pending:
+                size = int(np.prod(dev_out.shape))
+                block = fetched_flat[cursor : cursor + size].reshape(
+                    -1, dev_out.shape[-1]
+                )
+                cursor += size
                 if ensemble is None:
-                    per_model.append(_l2(fetched[cursor : cursor + n_frames]))
-                    cursor += n_frames
+                    per_model.append(_l2(block))
                 else:
-                    for _ in group:
-                        per_model.append(_l2(fetched[cursor : cursor + n_frames]))
-                        cursor += n_frames
+                    rows = block.shape[0] // len(group)
+                    per_model.extend(
+                        _l2(block[t * rows : (t + 1) * rows])
+                        for t in range(len(group))
+                    )
             concat = np.concatenate(per_model, axis=1)  # [sum frames, 2048]
         else:
             concat = np.zeros((0, 512 * len(self.extractors)), np.float32)

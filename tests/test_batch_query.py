@@ -159,6 +159,21 @@ def test_heterogeneous_descriptor_dims(parts):
     np.testing.assert_allclose(direct, merged, atol=1e-5)
 
 
+def test_process_many_propagates_prep_errors(parts):
+    """A failure in the worker-thread prep half surfaces to the caller
+    (not swallowed by the pipelined executor)."""
+    models, pca, _ = parts
+    pipe = BatchedQueryPipeline(
+        [BatchedExtractor(model=m, params=p, size=64, preset="vit", chunk=4)
+         for m, p in models],
+        pca=pca, ved=None, use_fsd=False, out_dim=8,
+    )
+    videos = make_videos(k=4)
+    videos[2] = "not a video"  # poison batch 2 (batch size 1 below)
+    with pytest.raises(Exception):
+        pipe.process_many([f"Q{i}" for i in range(4)], videos, batch=1)
+
+
 def test_process_many_matches_process_batch(parts):
     models, pca, (cm, cp, vm, vp) = parts
     videos = make_videos(k=5)

@@ -41,7 +41,10 @@ import jax
 # programs take ~10 min through this environment's HTTP relay; cached
 # reruns start in seconds. TPU-only — CPU AOT artifacts are host-machine
 # specific and reloading them across machines risks SIGILL.
-if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+if (
+    os.environ.get("JAX_PLATFORMS", "") != "cpu"
+    and (jax.config.jax_platforms or "") != "cpu"  # smoke wrappers set this
+):
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),

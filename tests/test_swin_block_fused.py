@@ -43,7 +43,12 @@ def _block_args(rng, w, n, c, h, nw, dtype=np.float32):
 
 @pytest.mark.parametrize(
     "w,n,c,h,nw",
-    [(8, 256, 128, 4, 4), (4, 256, 256, 8, 2), (4, 64, 128, 4, 1)],
+    [
+        (8, 256, 128, 4, 4),   # batched path (n=256), shifted/masked
+        (4, 256, 256, 8, 2),   # batched path, masked, wider C
+        (8, 256, 128, 4, 1),   # batched path, UNSHIFTED (no mask operand)
+        (4, 64, 128, 4, 1),    # per-window path (n=64, stage-4 class)
+    ],
 )
 def test_kernel_matches_reference_interpret(w, n, c, h, nw):
     rng = np.random.default_rng(0)

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vsc22_tpu.models.layers import DenseParams, MultiHeadAttention
+from vsc22_tpu.models.layers import DenseParams
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +69,9 @@ class CLIPBlock(nn.Module):
     # for CLIP (row padding 257->384 in QKV/MLP offsets the glue savings);
     # the default path fuses attention and the MLP per-op without padding
     # the dense GEMMs.
+    use_half_block: bool = False  # variant B: LN1+QKV also fused into the
+    # attention kernel (per-frame QKV GEMMs instead of one XLA batch GEMM);
+    # flip after measuring scripts/perf_attn_proj.py on hardware.
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -96,41 +99,39 @@ class CLIPBlock(nn.Module):
                 _CLIP_LN_EPS,
             )
 
-        # Per-op fused path: LN + unpadded QKV/proj/MLP GEMMs, packed-K
-        # attention kernel (ops/pallas_attn), fused QuickGELU MLP.
-        from vsc22_tpu.ops.pallas_attn import attention
-        from vsc22_tpu.ops.pallas_mlp import fused_mlp
+        # Two-kernel path: the attention half (LN1+QKV+attention+proj+
+        # residual) and the MLP half (LN2+MLP+residual) each run as ONE
+        # Pallas kernel — four HBM activation passes per block total
+        # (ops/pallas_attn_proj, ops/pallas_mlp.ln_mlp_residual). With
+        # use_half_block=False the QKV GEMM stays in XLA (variant A).
+        from vsc22_tpu.ops.pallas_attn_proj import (
+            attn_proj_residual,
+            ln_attn_proj_residual,
+        )
+        from vsc22_tpu.ops.pallas_mlp import ln_mlp_residual
 
         b, l, _ = x.shape
-        hd = c // self.heads
-        y = _ln(x, ln1_s, ln1_b, dt)
-        qkv = (
-            jnp.dot(y.astype(dt), qkv_w.astype(dt),
-                    preferred_element_type=jnp.float32) + qkv_b
-        ).reshape(b, l, 3, self.heads, hd)
-        q, k, v = (qkv[:, :, i].astype(dt) for i in range(3))
-        if jax.default_backend() == "tpu":
-            out = attention(q * (hd**-0.5), k, v)
+        if self.use_half_block:
+            x = ln_attn_proj_residual(
+                x.astype(dt), ln1_s, ln1_b, qkv_w.astype(dt),
+                qkv_b.astype(jnp.float32), proj_w.astype(dt), proj_b,
+                self.heads, _CLIP_LN_EPS,
+            )
         else:
-            logits = jnp.einsum(
-                "blhd,bmhd->bhlm", q * (hd**-0.5), k,
-                preferred_element_type=jnp.float32,
+            y = _ln(x, ln1_s, ln1_b, dt)
+            qkv = jnp.dot(
+                y.astype(dt), qkv_w.astype(dt), preferred_element_type=jnp.float32
+            ) + qkv_b
+            x = attn_proj_residual(
+                x.astype(dt), qkv.astype(dt), proj_w.astype(dt), proj_b,
+                self.heads,
             )
-            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-            out = jnp.einsum(
-                "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
-            )
-        out = out.reshape(b, l, c).astype(dt)
-        proj = jnp.dot(out, proj_w.astype(dt), preferred_element_type=jnp.float32) + proj_b
-        x = x + proj.astype(dt)
-        y = _ln(x, ln2_s, ln2_b, dt)
-        y = fused_mlp(
-            y.reshape(b * l, c).astype(dt),
-            w1.astype(dt), b1.astype(dt),
-            w2.astype(dt), b2.astype(dt),
-            "quick_gelu",
+        return ln_mlp_residual(
+            x.reshape(b * l, c), ln2_s, ln2_b,
+            w1.astype(dt), b1.astype(jnp.float32),
+            w2.astype(dt), b2.astype(jnp.float32),
+            "quick_gelu", _CLIP_LN_EPS,
         ).reshape(b, l, c)
-        return x + y.astype(dt)
 
 
 class CLIPVisual(nn.Module):

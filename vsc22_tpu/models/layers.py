@@ -87,6 +87,28 @@ class Mlp(nn.Module):
         return x
 
 
+class MlpParams(nn.Module):
+    """Declares Mlp's exact {fc1_kernel, fc1_bias, fc2_kernel, fc2_bias}
+    param tree without applying it — for blocks routed through fused
+    kernels."""
+
+    hidden_dim: int
+    out_dim: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1 = self.param(
+            "fc1_kernel", nn.initializers.lecun_normal(), (self.in_dim, self.hidden_dim)
+        )
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (self.hidden_dim,))
+        w2 = self.param(
+            "fc2_kernel", nn.initializers.lecun_normal(), (self.hidden_dim, self.out_dim)
+        )
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (self.out_dim,))
+        return w1, b1, w2, b2
+
+
 class MultiHeadAttention(nn.Module):
     """Standard pre-LN ViT attention with a fused QKV projection.
 
@@ -158,7 +180,14 @@ class DropPath(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Pre-LN transformer encoder block."""
+    """Pre-LN transformer encoder block.
+
+    The attention half (QKV split -> softmax(QK^T)V -> projection ->
+    residual) runs as one fused Pallas kernel on TPU whenever dropout /
+    drop-path are inactive (ops/pallas_attn_proj); the param tree is
+    identical to the historical MultiHeadAttention layout
+    (attn/{qkv,proj}/{kernel,bias}).
+    """
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -168,17 +197,62 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        c = x.shape[-1]
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        y = MultiHeadAttention(
-            self.num_heads, dtype=self.dtype, proj_drop=self.dropout, name="attn"
-        )(y, deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype, dropout=self.dropout, name="mlp")(
-            y, deterministic
-        )
-        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        from vsc22_tpu.ops.pallas_attn_proj import attn_proj_residual
+
+        b, l, c = x.shape
+        hd = c // self.num_heads
+        dt = self.dtype
+        y = nn.LayerNorm(dtype=dt, name="norm1")(x)
+        qkv_w, qkv_b, proj_w, proj_b = AttentionParams(c, name="attn")()
+        qkv = jnp.dot(
+            y.astype(dt), qkv_w.astype(dt), preferred_element_type=jnp.float32
+        ) + qkv_b
+        if deterministic or (self.dropout == 0.0 and self.drop_path == 0.0):
+            x = attn_proj_residual(
+                x.astype(dt), qkv.astype(dt), proj_w.astype(dt), proj_b,
+                self.num_heads,
+            )
+        else:
+            r = qkv.reshape(b, l, 3, self.num_heads, hd)
+            q, k, v = (r[:, :, i].astype(dt) for i in range(3))
+            logits = jnp.einsum(
+                "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+            ) * (hd**-0.5)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            out = jnp.einsum(
+                "bhlm,bmhd->blhd", probs, v, preferred_element_type=jnp.float32
+            ).astype(dt).reshape(b, l, c)
+            out = jnp.dot(
+                out, proj_w.astype(dt), preferred_element_type=jnp.float32
+            ) + proj_b
+            out = nn.Dropout(self.dropout)(out.astype(dt), deterministic=deterministic)
+            x = x + DropPath(self.drop_path, name="drop_path1")(out, deterministic)
+        norm2_s, norm2_b = LayerNormParams(c, name="norm2")()
+        hidden = int(c * self.mlp_ratio)
+        w1, b1, w2, b2 = MlpParams(hidden, c, in_dim=c, name="mlp")()
+        if deterministic or (self.dropout == 0.0 and self.drop_path == 0.0):
+            from vsc22_tpu.ops.pallas_mlp import ln_mlp_residual
+
+            x = ln_mlp_residual(
+                x.reshape(b * l, c).astype(dt), norm2_s, norm2_b,
+                w1.astype(dt), b1.astype(jnp.float32),
+                w2.astype(dt), b2.astype(jnp.float32),
+                "gelu", 1e-6,  # flax nn.LayerNorm default eps
+            ).reshape(b, l, c)
+        else:
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(-1, keepdims=True)
+            var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+            y = (
+                (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+                * norm2_s.astype(jnp.float32) + norm2_b.astype(jnp.float32)
+            ).astype(dt)
+            y = y @ w1.astype(dt) + b1.astype(dt)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            y = y @ w2.astype(dt) + b2.astype(dt)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
         return x
 
 

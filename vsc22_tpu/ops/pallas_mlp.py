@@ -116,6 +116,113 @@ def _xla_mlp(x, w1, b1, w2, b2, activation="gelu"):
     return out.astype(x.dtype)
 
 
+def _make_ln_kernel(activation: str, eps: float):
+    act = _ACTIVATIONS[activation]
+
+    def _kernel(x_ref, ln_s_ref, ln_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref):
+        x = x_ref[:]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        ln = (
+            (xf - mean) * jax.lax.rsqrt(var + eps)
+            * ln_s_ref[:].astype(jnp.float32)
+            + ln_b_ref[:].astype(jnp.float32)
+        ).astype(x.dtype)
+        h = jax.lax.dot_general(
+            ln, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[:].astype(jnp.float32)
+        h = act(h).astype(x.dtype)
+        out = jax.lax.dot_general(
+            h, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[:].astype(jnp.float32)
+        out_ref[:] = (xf + out).astype(out_ref.dtype)
+
+    return _kernel
+
+
+def _ln_forward(x, ln_s, ln_b, w1, b1, w2, b2, *, row_tile, activation, eps,
+                interpret):
+    rows, c = x.shape
+    hidden = w1.shape[1]
+    padded = -(-rows // row_tile) * row_tile
+    if padded != rows:
+        x = jnp.concatenate([x, jnp.zeros((padded - rows, c), x.dtype)], axis=0)
+    grid = (padded // row_tile,)
+    return pl.pallas_call(
+        _make_ln_kernel(activation, eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_tile, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((hidden, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((row_tile, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((padded, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(
+        x, ln_s.reshape(1, -1), ln_b.reshape(1, -1),
+        w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+    )[:rows]
+
+
+def _xla_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, activation="gelu", eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    ln = (
+        (xf - mean) * jax.lax.rsqrt(var + eps)
+        * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+    ).astype(x.dtype)
+    h = jnp.dot(ln, w1, preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+    if activation == "gelu":
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(x.dtype)
+    else:
+        h = _quick_gelu(h).astype(x.dtype)
+    out = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
+    return (xf + out).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def ln_mlp_residual(x, ln_s, ln_b, w1, b1, w2, b2, activation="gelu", eps=1e-5):
+    """x + act(LN(x)@W1+b1)@W2+b2 over [rows, C]: the whole MLP half of a
+    pre-LN transformer block in one row-tiled kernel — LN statistics, the
+    hidden activations and the residual add never touch HBM. Falls back to
+    XLA off-TPU / unaligned dims. Backward = XLA recompute."""
+    interpret = jax.default_backend() != "tpu"
+    rows, c = x.shape
+    hidden = w1.shape[1]
+    tile = _pick_row_tile(rows, c, hidden, x.dtype.itemsize)
+    if tile == 0 or c % 128 or hidden % 128:
+        return _xla_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, activation, eps)
+    return _ln_forward(x, ln_s, ln_b, w1, b1, w2, b2, row_tile=tile,
+                       activation=activation, eps=eps, interpret=interpret)
+
+
+def _ln_fwd(x, ln_s, ln_b, w1, b1, w2, b2, activation, eps):
+    return ln_mlp_residual(x, ln_s, ln_b, w1, b1, w2, b2, activation, eps), (
+        x, ln_s, ln_b, w1, b1, w2, b2,
+    )
+
+
+def _ln_bwd(activation, eps, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ln_mlp(*a, activation, eps), *residuals
+    )
+    return vjp(g)
+
+
+ln_mlp_residual.defvjp(_ln_fwd, _ln_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_mlp(x, w1, b1, w2, b2, activation="gelu"):
     """act(x@W1+b1)@W2+b2 over [rows, C] with on-chip hidden activations.

@@ -219,16 +219,157 @@ def _make_kernel(g_windows: int, num_heads: int, head_dim: int,
     return _kernel
 
 
+def _make_kernel_batched(g_windows: int, num_heads: int, head_dim: int,
+                         apply_mask: bool = True, head_unroll: int = 4):
+    """Window-group-batched variant: QKV, cosine norms, projection, LNs and
+    the MLP run ONCE over all G windows ([C, G*N] / [G*N, C] GEMMs), so the
+    small-C stages keep the MXU fed; only logits/softmax/attention*V sweep
+    windows in the fori_loop (the softmax cannot mix windows). Requires
+    n % 128 == 0 so per-window lane slices of the batched scratches stay
+    tile-aligned (stages 1-3 at window 16; stage 4's N=64 keeps the
+    per-window kernel, where it already runs at ~92 TF/s)."""
+
+    def _kernel(
+        scale_ref, x_ref, wq_t_ref, wk_t_ref, wv_t_ref, bq_ref, bv_ref,
+        wproj_ref, proj_b_ref, ln1_s_ref, ln1_b_ref, fc1_w_ref, fc1_b_ref,
+        fc2_w_ref, fc2_b_ref, ln2_s_ref, ln2_b_ref, rpb_ref, *rest,
+    ):
+        if apply_mask:
+            (mask_ref, out_ref, qt_ref, kt_ref, vt_ref, kp_ref, kp2_ref,
+             ot_ref, qn_ref, kn_ref) = rest
+        else:
+            mask_ref = None
+            (out_ref, qt_ref, kt_ref, vt_ref, kp_ref, kp2_ref, ot_ref,
+             qn_ref, kn_ref) = rest
+        h = num_heads
+        hd = head_dim
+        n = x_ref.shape[2]
+        c = x_ref.shape[3]
+        gn = g_windows * n
+
+        group = 1
+        for cand in range(min(head_unroll, h, 128 // hd), 0, -1):
+            if h % cand == 0:
+                group = cand
+                break
+        ghd = group * hd
+
+        x_all = x_ref[0].reshape(gn, c)  # [G*N, C] compute dtype
+
+        # Batched QKV: one transposed GEMM per tensor over the whole group.
+        qt_ref[:] = jax.lax.dot_general(
+            wq_t_ref[:], x_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bq_ref[:]
+        kt_ref[:] = jax.lax.dot_general(
+            wk_t_ref[:], x_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # k bias is fixed at zero (SwinV2 convention)
+        vt_ref[:] = (
+            jax.lax.dot_general(
+                wv_t_ref[:], x_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bv_ref[:]
+        ).astype(x_all.dtype)
+
+        # Batched cosine normalization (per-head rsqrt over hd channel rows).
+        qg = qt_ref[:]
+        kg = kt_ref[:]
+        qnorm = jnp.sum(jnp.square(qg).reshape(h, hd, gn), axis=1)
+        knorm = jnp.sum(jnp.square(kg).reshape(h, hd, gn), axis=1)
+        qn_ref[:] = (
+            qg.reshape(h, hd, gn) * jax.lax.rsqrt(qnorm + 1e-12)[:, None, :]
+        ).reshape(c, gn).astype(x_all.dtype)
+        kn_ref[:] = (
+            kg.reshape(h, hd, gn) * jax.lax.rsqrt(knorm + 1e-12)[:, None, :]
+        ).reshape(c, gn).astype(x_all.dtype)
+
+        def body(g, carry):
+            mask = mask_ref[0, g] if apply_mask else None
+            col0 = g * n
+
+            def head_group(g_i, kp):
+                row0 = g_i * ghd
+                kp[:] = jnp.zeros((ghd, group * n), x_all.dtype)
+                for u in range(group):
+                    kp[pl.ds(u * hd, hd), pl.ds(u * n, n)] = kn_ref[
+                        pl.ds(row0 + u * hd, hd), pl.ds(col0, n)
+                    ]
+                logits_all = jax.lax.dot_general(
+                    qn_ref[pl.ds(row0, ghd), pl.ds(col0, n)], kp[:],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [N, group*N]
+                for u in range(group):
+                    h_i = g_i * group + u
+                    logits = logits_all[:, u * n : (u + 1) * n]
+                    logits = logits * scale_ref[h_i] + rpb_ref[h_i]
+                    if apply_mask:
+                        logits = logits + mask
+                    probs = jax.nn.softmax(logits, axis=-1).astype(x_all.dtype)
+                    vh = vt_ref[pl.ds(h_i * hd, hd), pl.ds(col0, n)]
+                    ot_ref[pl.ds(h_i * hd, hd), pl.ds(col0, n)] = (
+                        jax.lax.dot_general(
+                            vh, probs, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(x_all.dtype)
+                    )
+
+            for g_i in range(h // group):
+                head_group(g_i, kp_ref if g_i % 2 == 0 else kp2_ref)
+            return carry
+
+        jax.lax.fori_loop(0, g_windows, body, 0)
+
+        # Batched projection + res-post-norm + MLP over the whole group.
+        proj_t = jax.lax.dot_general(
+            wproj_ref[:], ot_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + proj_b_ref[0].astype(jnp.float32)[:, None]  # [C, G*N] f32
+        mean_t = jnp.mean(proj_t, axis=0, keepdims=True)
+        var_t = jnp.mean(jnp.square(proj_t - mean_t), axis=0, keepdims=True)
+        ln1_t = (proj_t - mean_t) * jax.lax.rsqrt(var_t + _LN_EPS)
+        ln1_t = (
+            ln1_t * ln1_s_ref[0].astype(jnp.float32)[:, None]
+            + ln1_b_ref[0].astype(jnp.float32)[:, None]
+        )
+        x1 = (x_all.astype(jnp.float32) + ln1_t.T).astype(x_all.dtype)
+
+        hcur = jax.lax.dot_general(
+            x1, fc1_w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + fc1_b_ref[0].astype(jnp.float32)
+        hcur = _gelu_exact(hcur).astype(x_all.dtype)
+        mlp = jax.lax.dot_general(
+            hcur, fc2_w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + fc2_b_ref[0].astype(jnp.float32)
+        ln2 = _layernorm_f32(
+            mlp, ln2_s_ref[0].astype(jnp.float32), ln2_b_ref[0].astype(jnp.float32)
+        )
+        out_ref[0] = (
+            (x1.astype(jnp.float32) + ln2)
+            .astype(out_ref.dtype)
+            .reshape(g_windows, n, c)
+        )
+
+    return _kernel
+
+
 def _vmem_estimate(
     g: int, n: int, c: int, f: int, h: int, itemsize: int, apply_mask: bool = True
 ) -> int:
+    batched = n % 128 == 0
+    gn = g * n if batched else n
     x_out = 2 * 2 * g * n * c * itemsize  # x + out, double-buffered
     weights = (4 * c * c + c * f + f * c) * itemsize + 2 * h * hd_bytes(c, h)
     rpb = h * n * n * 4
     mask = 2 * g * n * n * 4 if apply_mask else 0
-    temps = n * f * 4 + 4 * n * n * 4 + 8 * n * c * 4
+    temps = gn * f * 4 + gn * f * itemsize + 4 * n * n * 4 + 6 * gn * c * 4
     kp = 2 * 128 * 4 * n * itemsize  # two alternating block-diag K buffers
-    return x_out + weights + rpb + mask + temps + kp
+    # batched variant: qt/kt f32 + vt/ot/qn/kn compute-dtype group scratches
+    scratch = (2 * gn * c * 4 + 4 * gn * c * itemsize) if batched else 0
+    return x_out + weights + rpb + mask + temps + kp + scratch
 
 
 def hd_bytes(c: int, h: int) -> int:
@@ -350,22 +491,40 @@ def swin_block_fused(
         )
         operands.append(mask4)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_groups,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
-        scratch_shapes=[
+    batched = n % 128 == 0
+    if batched:
+        gn = g_win * n
+        scratch_shapes = [
+            pltpu.VMEM((c, gn), jnp.float32),  # q (token-transposed, grouped)
+            pltpu.VMEM((c, gn), jnp.float32),  # k
+            pltpu.VMEM((c, gn), x.dtype),  # v
+            pltpu.VMEM((group * hd, group * n), x.dtype),  # block-diag K pack
+            pltpu.VMEM((group * hd, group * n), x.dtype),  # (alternating)
+            pltpu.VMEM((c, gn), x.dtype),  # attention output (transposed)
+            pltpu.VMEM((c, gn), x.dtype),  # normalized q
+            pltpu.VMEM((c, gn), x.dtype),  # normalized k
+        ]
+        kernel = _make_kernel_batched(g_win, h, hd, apply_mask=apply_mask)
+    else:
+        scratch_shapes = [
             pltpu.VMEM((c, n), jnp.float32),  # q (token-transposed)
             pltpu.VMEM((c, n), jnp.float32),  # k
             pltpu.VMEM((c, n), x.dtype),  # v
             pltpu.VMEM((group * hd, group * n), x.dtype),  # block-diag K pack
             pltpu.VMEM((group * hd, group * n), x.dtype),  # (alternating)
             pltpu.VMEM((c, n), x.dtype),  # attention output (transposed)
-        ],
+        ]
+        kernel = _make_kernel(g_win, h, hd, apply_mask=apply_mask)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_groups,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, g_win, n, c), lambda i, _s: (i, 0, 0, 0)),
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
-        _make_kernel(g_win, h, hd, apply_mask=apply_mask),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_groups, g_win, n, c), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),

@@ -170,6 +170,7 @@ def build_pipeline(smoke: bool, timer=None):
         score_threshold=0.0,  # run the full extraction path for every video
         out_dim=sizes["out"],
         timer=timer,
+        ensemble_unroll=os.environ.get("VSC22_ENSEMBLE_UNROLL", "") == "1",
     )
     return pipe, sizes
 
@@ -280,6 +281,13 @@ def main():
         from vsc22_tpu.utils.observability import StageTimer
 
         timer = StageTimer()
+    if not args.smoke and jax.default_backend() == "tpu":
+        # Newly written Pallas kernels stay behind a gate until one
+        # successful on-device compile: a lowering failure here must fall
+        # back to the proven round-2 paths, not abort the bench.
+        from vsc22_tpu.ops.kernel_gate import validate_and_enable
+
+        validate_and_enable()
     pipe, sizes = build_pipeline(args.smoke, timer=timer)
     res = (128, 128) if args.smoke else (360, 640)
     videos = synth_videos(args.videos, FRAMES_PER_VIDEO, *res)

@@ -196,3 +196,39 @@ def test_process_many_matches_process_batch(parts):
     for a, b in zip(got, ref):
         np.testing.assert_allclose(a.feature, b.feature, atol=1e-5)
         np.testing.assert_array_equal(a.timestamps, b.timestamps)
+
+
+def test_scanned_ensemble_unroll_matches_scan(parts):
+    """unroll=True (Python-unrolled members) must return exactly what the
+    lax.scan formulation returns, in the same member order."""
+    from vsc22_tpu.models.swinv2 import SWINV2_TINY_TEST, SwinTransformerV2
+    from vsc22_tpu.pipelines.batch_query import _ScannedEnsemble
+
+    m = SwinTransformerV2(cfg=SWINV2_TINY_TEST)
+    ps = [
+        m.init(jax.random.PRNGKey(s), jnp.zeros((1, 32, 32, 3)), train=False)
+        for s in (11, 12, 13)
+    ]
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    rng = np.random.default_rng(9)
+    batch = jnp.asarray(rng.standard_normal((5, 32, 32, 3)).astype(np.float32))
+    scanned = _ScannedEnsemble(
+        model=m, params_stack=stack, chunk=4, timer=None, size=32, preset="vit"
+    )
+    unrolled = _ScannedEnsemble(
+        model=m, params_stack=stack, chunk=4, timer=None, size=32, preset="vit",
+        unroll=True,
+    )
+    # timer=None placeholder: give both the null timer the pipeline installs
+    import contextlib
+
+    class _Null:
+        def stage(self, name):
+            return contextlib.nullcontext()
+
+    scanned.timer = _Null()
+    unrolled.timer = _Null()
+    a = np.asarray(scanned.extract_dispatch([batch]))
+    b = np.asarray(unrolled.extract_dispatch([batch]))
+    assert a.shape == b.shape == (3, 5, m.cfg.output_dim)
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -378,11 +378,28 @@ def _ln_attn_proj_xla(x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b,
 def ln_attn_proj_residual(x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b,
                           num_heads, eps=1e-5):
     """x + proj(attn(qkv(LN(x)))) — the whole attention half of a pre-LN
-    block in ONE kernel on TPU; XLA elsewhere."""
+    block in ONE kernel on TPU (once kernel_gate has validated the
+    lowering on-device); XLA / legacy packed attention elsewhere."""
+    from vsc22_tpu.ops.kernel_gate import new_kernels_enabled
+
     l, c = x.shape[1], x.shape[2]
     if jax.default_backend() == "tpu" and _supported(l, c, num_heads):
-        return ln_attn_proj_residual_fused(
-            x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, num_heads, eps
+        if new_kernels_enabled():
+            return ln_attn_proj_residual_fused(
+                x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, num_heads, eps
+            )
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+        ln = (
+            (xf - mean) * jax.lax.rsqrt(var + eps)
+            * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+        ).astype(x.dtype)
+        qkv = jnp.dot(
+            ln, qkv_w.astype(x.dtype), preferred_element_type=jnp.float32
+        ) + qkv_b
+        return _attn_proj_legacy(
+            x, qkv.astype(x.dtype), proj_w, proj_b, num_heads
         )
     return _ln_attn_proj_xla(
         x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, num_heads, eps
@@ -423,13 +440,37 @@ def _attn_proj_xla(x, qkv, proj_w, proj_b, num_heads):
     return (x.astype(jnp.float32) + proj).astype(x.dtype)
 
 
+def _attn_proj_legacy(x, qkv, proj_w, proj_b, num_heads):
+    """Round-2 proven path: packed attention kernel + XLA proj/residual.
+    Used while ops.kernel_gate has not yet validated the fused kernel on
+    real hardware (Mosaic lowering can only be proven on-device)."""
+    from vsc22_tpu.ops.pallas_attn import packed_attention
+
+    b, l, c = x.shape
+    hd = c // num_heads
+    r = qkv.reshape(b, l, 3, num_heads, hd)
+    q, k, v = (r[:, :, i].astype(x.dtype) for i in range(3))
+    out = packed_attention(q * (hd ** -0.5), k, v)
+    out = out.reshape(b, l, c).astype(x.dtype)
+    proj = jnp.dot(
+        out, proj_w.astype(x.dtype), preferred_element_type=jnp.float32
+    ) + proj_b.astype(jnp.float32)
+    return (x.astype(jnp.float32) + proj).astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def attn_proj_residual(x, qkv, proj_w, proj_b, num_heads):
     """x + softmax(q k^T / sqrt(hd)) v @ W_proj + b_proj, q/k/v packed in
-    `qkv` [B, L, 3C]. Pallas-fused on TPU (supported dims), XLA elsewhere."""
+    `qkv` [B, L, 3C]. Pallas-fused on TPU (supported dims, once
+    kernel_gate has validated the lowering on-device; packed-attention
+    legacy path otherwise), XLA elsewhere."""
+    from vsc22_tpu.ops.kernel_gate import new_kernels_enabled
+
     l, c = x.shape[1], x.shape[2]
     if jax.default_backend() == "tpu" and _supported(l, c, num_heads):
-        return attn_proj_residual_fused(x, qkv, proj_w, proj_b, num_heads)
+        if new_kernels_enabled():
+            return attn_proj_residual_fused(x, qkv, proj_w, proj_b, num_heads)
+        return _attn_proj_legacy(x, qkv, proj_w, proj_b, num_heads)
     return _attn_proj_xla(x, qkv, proj_w, proj_b, num_heads)
 
 

@@ -203,6 +203,21 @@ def ln_mlp_residual(x, ln_s, ln_b, w1, b1, w2, b2, activation="gelu", eps=1e-5):
     tile = _pick_row_tile(rows, c, hidden, x.dtype.itemsize)
     if tile == 0 or c % 128 or hidden % 128:
         return _xla_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, activation, eps)
+    if not interpret:
+        from vsc22_tpu.ops.kernel_gate import new_kernels_enabled
+
+        if not new_kernels_enabled():
+            # Round-2 proven path: XLA LayerNorm + fused_mlp kernel.
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(-1, keepdims=True)
+            var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+            ln = (
+                (xf - mean) * jax.lax.rsqrt(var + eps)
+                * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+            ).astype(x.dtype)
+            y = fused_mlp(ln, w1, b1.astype(x.dtype), w2, b2.astype(x.dtype),
+                          activation)
+            return (xf + y.astype(jnp.float32)).astype(x.dtype)
     return _ln_forward(x, ln_s, ln_b, w1, b1, w2, b2, row_tile=tile,
                        activation=activation, eps=eps, interpret=interpret)
 

@@ -357,9 +357,11 @@ def _make_kernel_batched(g_windows: int, num_heads: int, head_dim: int,
 
 
 def _vmem_estimate(
-    g: int, n: int, c: int, f: int, h: int, itemsize: int, apply_mask: bool = True
+    g: int, n: int, c: int, f: int, h: int, itemsize: int,
+    apply_mask: bool = True, batched: bool | None = None,
 ) -> int:
-    batched = n % 128 == 0
+    if batched is None:
+        batched = n % 128 == 0
     gn = g * n if batched else n
     x_out = 2 * 2 * g * n * c * itemsize  # x + out, double-buffered
     weights = (4 * c * c + c * f + f * c) * itemsize + 2 * h * hd_bytes(c, h)
@@ -378,7 +380,9 @@ def hd_bytes(c: int, h: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "num_shift_windows", "apply_mask", "interpret"),
+    static_argnames=(
+        "num_heads", "num_shift_windows", "apply_mask", "interpret", "batched"
+    ),
 )
 def swin_block_fused(
     x: jax.Array,  # [W, N, C] windows (W = batch * nW, window-major per item)
@@ -401,12 +405,21 @@ def swin_block_fused(
     num_shift_windows: int,
     apply_mask: bool = True,
     interpret: bool = False,
+    batched: bool | None = None,  # None: auto (n%128==0 + kernel_gate)
 ) -> jax.Array:
     w, n, c = x.shape
     h = num_heads
     hd = c // h
     f = fc1_w.shape[1]
     nw = num_shift_windows
+
+    if batched is None:
+        if interpret:
+            batched = n % 128 == 0  # interpret tests cover both variants
+        else:
+            from vsc22_tpu.ops.kernel_gate import new_kernels_enabled
+
+            batched = n % 128 == 0 and new_kernels_enabled()
 
     # Group size: masked (shifted) blocks must align groups to the nw-mask
     # period; unshifted blocks ignore the mask, so groups are limited only
@@ -417,7 +430,9 @@ def swin_block_fused(
     g_win = min(g_limit, 16)
     while g_win > 1 and (
         g_limit % g_win
-        or _vmem_estimate(g_win, n, c, f, h, x.dtype.itemsize, apply_mask)
+        or _vmem_estimate(
+            g_win, n, c, f, h, x.dtype.itemsize, apply_mask, batched
+        )
         > 48 * 2**20
     ):
         g_win -= 1
@@ -491,7 +506,6 @@ def swin_block_fused(
         )
         operands.append(mask4)
 
-    batched = n % 128 == 0
     if batched:
         gn = g_win * n
         scratch_shapes = [

@@ -126,13 +126,32 @@ class _ScannedEnsemble:
     timer: object
     size: int
     preset: str
+    unroll: bool = False  # True: Python-unroll members inside the jit —
+    # no per-iteration dynamic param slicing (the scan's stacked-weight
+    # gather measured ~12% on the 3-member SwinV2 ensemble), at the cost
+    # of a k-times-larger program to compile (one-time; cache-persisted).
 
     def __post_init__(self):
-        def fwd(stack, images):
-            def body(carry, p):
-                return carry, self.model.apply(p, images, train=False)
+        if self.unroll:
+            k = len(jax.tree.leaves(self.params_stack)[0])
 
-            return jax.lax.scan(body, None, stack)[1]
+            def fwd(stack, images):
+                return jnp.stack(
+                    [
+                        self.model.apply(
+                            jax.tree.map(lambda x: x[i], stack), images,
+                            train=False,
+                        )
+                        for i in range(k)
+                    ]
+                )
+
+        else:
+            def fwd(stack, images):
+                def body(carry, p):
+                    return carry, self.model.apply(p, images, train=False)
+
+                return jax.lax.scan(body, None, stack)[1]
 
         self._fwd = jax.jit(fwd)
 
@@ -255,6 +274,7 @@ class BatchedQueryPipeline:
         frame_threshold: float = FRAME_THRESHOLD,
         out_dim: int = 512,
         timer=None,  # optional utils.observability.StageTimer
+        ensemble_unroll: bool = False,
     ):
         self.extractors = list(extractors)
         self.pca = pca
@@ -303,6 +323,7 @@ class BatchedQueryPipeline:
                     model=group[0].model, params_stack=stack,
                     chunk=group[0].chunk, timer=timer,
                     size=group[0].size, preset=group[0].preset,
+                    unroll=ensemble_unroll,
                 )
             self._groups.append((group, ensemble))
             i = j

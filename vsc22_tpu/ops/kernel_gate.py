@@ -61,56 +61,68 @@ def validate_and_enable(verbose: bool = True) -> bool:
 
         rng = np.random.default_rng(0)
         dt = jnp.bfloat16
-        # attn_proj (variant A), CLIP dim class at tiny batch.
-        x = jnp.asarray(rng.standard_normal((1, 257, 256)), dt)
-        qkv = jnp.asarray(rng.standard_normal((1, 257, 768)), dt)
-        pw = jnp.asarray(rng.standard_normal((256, 256)) * 0.06, dt)
-        pb = jnp.zeros((256,), jnp.float32)
-        np.asarray(attn_proj_residual_fused(x, qkv, pw, pb, 4))
+        # Canaries use the REAL serving dims (batch 1): a lowering or VMEM
+        # failure specific to CLIP's C=1024 or swin's stage sizes must trip
+        # the gate, not the production compile later.
+        c = 1024
+        x = jnp.asarray(rng.standard_normal((1, 257, c)), dt)
+        qkv = jnp.asarray(rng.standard_normal((1, 257, 3 * c)), dt)
+        pw = jnp.asarray(rng.standard_normal((c, c)) * 0.03, dt)
+        pb = jnp.zeros((c,), jnp.float32)
+        np.asarray(attn_proj_residual_fused(x, qkv, pw, pb, 16))
         # half block (variant B).
-        ln_s = jnp.ones((256,), jnp.float32)
-        ln_b = jnp.zeros((256,), jnp.float32)
-        qw = jnp.asarray(rng.standard_normal((256, 768)) * 0.06, dt)
-        qb = jnp.zeros((768,), jnp.float32)
+        ln_s = jnp.ones((c,), jnp.float32)
+        ln_b = jnp.zeros((c,), jnp.float32)
+        qw = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.03, dt)
+        qb = jnp.zeros((3 * c,), jnp.float32)
         np.asarray(
-            ln_attn_proj_residual_fused(x, ln_s, ln_b, qw, qb, pw, pb, 4)
+            ln_attn_proj_residual_fused(x, ln_s, ln_b, qw, qb, pw, pb, 16)
         )
-        # ln_mlp_residual.
-        xm = jnp.asarray(rng.standard_normal((256, 256)), dt)
-        w1 = jnp.asarray(rng.standard_normal((256, 512)) * 0.06, dt)
-        b1 = jnp.zeros((512,), jnp.float32)
-        w2 = jnp.asarray(rng.standard_normal((512, 256)) * 0.06, dt)
-        b2 = jnp.zeros((256,), jnp.float32)
+        # ln_mlp_residual at CLIP MLP dims (row tile identical to serving).
+        xm = jnp.asarray(rng.standard_normal((256, c)), dt)
+        w1 = jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.03, dt)
+        b1 = jnp.zeros((4 * c,), jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((4 * c, c)) * 0.03, dt)
+        b2 = jnp.zeros((c,), jnp.float32)
+        from vsc22_tpu.ops.pallas_mlp import _pick_row_tile
+
+        tile = _pick_row_tile(256, c, 4 * c, 2) or 128
         np.asarray(
-            _ln_forward(xm, ln_s, ln_b, w1, b1, w2, b2, row_tile=128,
-                        activation="gelu", eps=1e-6, interpret=False)
+            _ln_forward(xm, ln_s, ln_b, w1, b1, w2, b2, row_tile=tile,
+                        activation="quick_gelu", eps=1e-5, interpret=False)
         )
-        # batched swin window-group kernel (n=256 -> batched path).
-        w, n, c, h = 4, 256, 128, 4
-        qkv_b = np.zeros((3 * c,), np.float32)
-        args = dict(
-            x=jnp.asarray(rng.standard_normal((w, n, c)), dt),
-            qkv_w=jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.06, dt),
-            qkv_b=jnp.asarray(qkv_b),
-            proj_w=jnp.asarray(rng.standard_normal((c, c)) * 0.06, dt),
-            proj_b=jnp.zeros((c,), jnp.float32),
-            ln1_s=jnp.ones((c,), jnp.float32),
-            ln1_b=jnp.zeros((c,), jnp.float32),
-            fc1_w=jnp.asarray(rng.standard_normal((c, 4 * c)) * 0.06, dt),
-            fc1_b=jnp.zeros((4 * c,), jnp.float32),
-            fc2_w=jnp.asarray(rng.standard_normal((4 * c, c)) * 0.06, dt),
-            fc2_b=jnp.zeros((c,), jnp.float32),
-            ln2_s=jnp.ones((c,), jnp.float32),
-            ln2_b=jnp.zeros((c,), jnp.float32),
-            rpb=jnp.asarray(rng.standard_normal((h, n, n)), jnp.float32),
-            scale=jnp.ones((h,), jnp.float32),
-            mask=jnp.zeros((2, n, n), jnp.float32),
-        )
-        np.asarray(
-            swin_block_fused(
-                **args, num_heads=h, num_shift_windows=2, batched=True
+
+        # Batched swin window-group kernel at the two extreme stage shapes:
+        # stage 1 (C=128, shifted, 16-window mask period) and stage 3
+        # (C=512, unshifted, largest VMEM group).
+        def swin_canary(wn, n, cc, h, nw):
+            args = dict(
+                x=jnp.asarray(rng.standard_normal((wn, n, cc)), dt),
+                qkv_w=jnp.asarray(rng.standard_normal((cc, 3 * cc)) * 0.06, dt),
+                qkv_b=jnp.zeros((3 * cc,), jnp.float32),
+                proj_w=jnp.asarray(rng.standard_normal((cc, cc)) * 0.06, dt),
+                proj_b=jnp.zeros((cc,), jnp.float32),
+                ln1_s=jnp.ones((cc,), jnp.float32),
+                ln1_b=jnp.zeros((cc,), jnp.float32),
+                fc1_w=jnp.asarray(rng.standard_normal((cc, 4 * cc)) * 0.06, dt),
+                fc1_b=jnp.zeros((4 * cc,), jnp.float32),
+                fc2_w=jnp.asarray(rng.standard_normal((4 * cc, cc)) * 0.06, dt),
+                fc2_b=jnp.zeros((cc,), jnp.float32),
+                ln2_s=jnp.ones((cc,), jnp.float32),
+                ln2_b=jnp.zeros((cc,), jnp.float32),
+                rpb=jnp.asarray(rng.standard_normal((h, n, n)), jnp.float32),
+                scale=jnp.ones((h,), jnp.float32),
+                mask=jnp.zeros((max(nw, 1), n, n), jnp.float32),
             )
-        )
+            np.asarray(
+                swin_block_fused(
+                    **args, num_heads=h, num_shift_windows=nw,
+                    apply_mask=nw > 1, batched=True,
+                )
+            )
+
+        swin_canary(16, 256, 128, 4, 16)  # stage 1, shifted
+        swin_canary(16, 256, 512, 16, 1)  # stage 3, unshifted
     except Exception as e:  # lowering/compile/relay failure -> stay closed
         if verbose:
             print(f"[kernel_gate] canary failed, fallback paths stay active: "

@@ -95,3 +95,32 @@ def test_tp_sharded_forward_matches_replicated(cpu_mesh_2d, tiny_model_and_param
         jax.jit(lambda p, x: model.apply(p, x, train=False))(sharded_params, images)
     )
     assert_allclose(out, ref, atol=1e-4)
+
+
+def test_vit_dropout_branch_trains():
+    """TransformerBlock's non-fused branch (active dropout/drop-path) must
+    apply cleanly with rngs and differ across rng keys — regression for
+    the fused-attention restructuring keeping the stochastic path alive."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vsc22_tpu.models.vit import ViTConfig, VitDescriptor
+
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=2,
+        dropout=0.3, drop_path=0.2,
+    )
+    model = VitDescriptor(cfg=cfg, head_dim=64, out_dim=16)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+        jnp.float32,
+    )
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True,
+    )
+    a = model.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    b = model.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
+    det = model.apply(params, x, train=False)
+    assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(det)).all()
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # dropout active

@@ -363,14 +363,18 @@ class BatchedQueryPipeline:
     ) -> List[VideoFeature]:
         """Pipelined multi-batch processing.
 
-        The device queue must never drain between batches: batch i+1's
-        gating dispatches (CLIP+VSM chain, FSD map programs) enter the
-        queue on the main thread BEFORE batch i's extraction fetch blocks,
-        so the chip rolls straight from batch i's extraction into batch
-        i+1's gating. The gating FETCH + host cut decisions run on a
-        worker thread under batch i's extraction fetch (relay I/O releases
-        the GIL); by the time extraction returns, batch i+1 is ready to
-        dispatch its own extraction.
+        The device queue must never drain between batches:
+
+          - batch i+1's gating dispatches (CLIP+VSM chain, FSD map
+            programs) enter the queue on the main thread BEFORE batch i's
+            extraction fetch blocks, so the chip rolls straight from batch
+            i's extraction into batch i+1's gating;
+          - the gating FETCH + host cut decisions run on a worker thread
+            under batch i's extraction fetch (relay I/O releases the GIL);
+          - batch i's host postprocessing (near-dup dedup + PCA, ~0.1-0.5 s
+            of single-core numpy) happens only AFTER batch i+1's extraction
+            has been dispatched — the chip crunches extraction i+1 under
+            the host's dedup/PCA of batch i instead of idling.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -390,13 +394,18 @@ class BatchedQueryPipeline:
         out: List[VideoFeature] = []
         with ThreadPoolExecutor(max_workers=1) as pool:
             ctx = self._prepare_finish(dispatch(spans[0]))
-            fut = None
+            pending = self._extract_dispatch_phase(ctx)
             for i in range(len(spans)):
+                fut = None
                 if i + 1 < len(spans):
                     fut = pool.submit(self._prepare_finish, dispatch(spans[i + 1]))
-                out.extend(self._extract_finish(ctx))
-                if i + 1 < len(spans):
-                    ctx = fut.result()
+                fetched = self._extract_fetch(pending)
+                next_ctx = next_pending = None
+                if fut is not None:
+                    next_ctx = fut.result()
+                    next_pending = self._extract_dispatch_phase(next_ctx)
+                out.extend(self._finalize(ctx, pending, fetched))
+                ctx, pending = next_ctx, next_pending
         return out
 
     def _prepare(self, names, videos_u8, timestamps=None, device_videos=None):
@@ -575,62 +584,76 @@ class BatchedQueryPipeline:
         )
 
     def _extract_finish(self, ctx) -> List[VideoFeature]:
-        names = ctx["names"]
-        scores = ctx["scores"]
+        pending = self._extract_dispatch_phase(ctx)
+        fetched = self._extract_fetch(pending)
+        return self._finalize(ctx, pending, fetched)
+
+    def _extract_dispatch_phase(self, ctx):
+        """Stage 3 dispatch: ensemble extraction, cross-video chunks per
+        model — NO host sync. Each stream is (video, crop box): crop+resize
+        runs on device as a shape-static weight-matrix einsum against the
+        ORIGINAL frames — one compiled program per (frame shape, output
+        size) no matter how FSD cuts, and no host crop materialization.
+        Extractors sharing a (size, preset) — the three SwinV2 members —
+        share the pass. Every group's preprocessing + chunk forwards enter
+        the device queue at once."""
         proc = ctx["proc"]
-        frame_counts = ctx["frame_counts"]
-        full_ts = ctx["full_ts"]
         edited_idx = ctx["edited_idx"]
         device_videos = ctx["device_videos"]
-
-        # Stage 3: ensemble extraction, cross-video chunks per model.
-        # Each stream is (video, crop box): crop+resize runs on device as a
-        # shape-static weight-matrix einsum against the ORIGINAL frames —
-        # one compiled program per (frame shape, output size) no matter how
-        # FSD cuts, and no host crop materialization. Extractors sharing a
-        # (size, preset) — the three SwinV2 members — share the pass.
         edited = [s for i in edited_idx for s in proc[i]]
-        if edited:
-            pre_cache: Dict[Tuple, List[jax.Array]] = {}
-            # Phase A: dispatch EVERY group's preprocessing + chunk forwards
-            # (no sync) — the device queue holds all extractor work at once.
-            pending = []
-            for group, ensemble in self._groups:
-                ext = group[0]
-                key = (ext.size, ext.preset, str(ext.model.dtype))
-                with self.timer.stage(f"preprocess_{key[0]}"):
-                    if key not in pre_cache:
-                        pre_cache[key] = [
-                            crop_resize_normalize(
-                                device_videos[i],
-                                self._weights(
-                                    int(device_videos[i].shape[1]), ext.size,
-                                    box[0], box[1],
-                                ),
-                                self._weights(
-                                    int(device_videos[i].shape[2]), ext.size,
-                                    box[2], box[3],
-                                ),
-                                preset=ext.preset,
-                                out_dtype=ext.model.dtype,
-                            )
-                            for (i, box) in edited
-                        ]
-                target = ensemble if ensemble is not None else ext
-                pending.append(
-                    (group, ensemble, target.extract_dispatch(pre_cache[key]))
-                )
-            # Phase B: ONE device-side concat + ONE fetch for every group —
-            # each relay sync costs ~25 ms regardless of size, so all
-            # descriptors come back in a single round trip. Groups may have
-            # heterogeneous descriptor dims, so the merge is flat 1-D and
-            # each group is sliced back out by its own element count.
-            with self.timer.stage("extract_fetch"):
-                flats = [dev_out.reshape(-1) for _, _, dev_out in pending]
-                fetched_flat = np.asarray(
-                    jnp.concatenate(flats) if len(flats) > 1 else flats[0],
-                    np.float32,
-                )
+        pending = []
+        if not edited:
+            return pending
+        pre_cache: Dict[Tuple, List[jax.Array]] = {}
+        for group, ensemble in self._groups:
+            ext = group[0]
+            key = (ext.size, ext.preset, str(ext.model.dtype))
+            with self.timer.stage(f"preprocess_{key[0]}"):
+                if key not in pre_cache:
+                    pre_cache[key] = [
+                        crop_resize_normalize(
+                            device_videos[i],
+                            self._weights(
+                                int(device_videos[i].shape[1]), ext.size,
+                                box[0], box[1],
+                            ),
+                            self._weights(
+                                int(device_videos[i].shape[2]), ext.size,
+                                box[2], box[3],
+                            ),
+                            preset=ext.preset,
+                            out_dtype=ext.model.dtype,
+                        )
+                        for (i, box) in edited
+                    ]
+            target = ensemble if ensemble is not None else ext
+            pending.append(
+                (group, ensemble, target.extract_dispatch(pre_cache[key]))
+            )
+        return pending
+
+    def _extract_fetch(self, pending) -> Optional[np.ndarray]:
+        """ONE device-side concat + ONE fetch for every group — each relay
+        sync costs ~25 ms regardless of size, so all descriptors come back
+        in a single round trip. Groups may have heterogeneous descriptor
+        dims, so the merge is flat 1-D; _finalize slices each group back
+        out by its own element count."""
+        if not pending:
+            return None
+        with self.timer.stage("extract_fetch"):
+            flats = [dev_out.reshape(-1) for _, _, dev_out in pending]
+            return np.asarray(
+                jnp.concatenate(flats) if len(flats) > 1 else flats[0],
+                np.float32,
+            )
+
+    def _finalize(self, ctx, pending, fetched_flat) -> List[VideoFeature]:
+        names = ctx["names"]
+        scores = ctx["scores"]
+        frame_counts = ctx["frame_counts"]
+        full_ts = ctx["full_ts"]
+
+        if pending:
             per_model = []
             cursor = 0
             for group, ensemble, dev_out in pending:

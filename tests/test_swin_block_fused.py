@@ -91,3 +91,20 @@ def test_swinblock_paths_agree_and_share_tree(r, c, heads, shift):
     out_ref = blk_ref.apply(p_ref, x)
     out_fused = blk_fused.apply(p_ref, x)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_batched_kernel_stage3_scale_interpret():
+    """Stage-3 shape class (C=512, 16 heads, unshifted, 16 windows): the
+    largest-VMEM batched configuration, where the group size is clamped by
+    the estimate — catches pack/slice ordering bugs that small configs
+    can't."""
+    rng = np.random.default_rng(5)
+    args = _block_args(rng, 16, 256, 512, 16, 1)
+    args["mask"] = jnp.zeros_like(args["mask"])  # unshifted: mask unused
+    ref = swin_block_reference(**args, num_heads=16, num_shift_windows=1)
+    fused = swin_block_fused(
+        **args, num_heads=16, num_shift_windows=1, apply_mask=False,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-4)

@@ -89,3 +89,37 @@ def test_bf16_padding_does_not_leak():
             )
         ).astype(np.float32)
         np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_half_block_gradients_finite():
+    """ln_attn_proj_residual's custom VJP (XLA recompute) must produce
+    finite grads matching jax.grad of the XLA reference."""
+    import jax
+
+    from vsc22_tpu.ops.pallas_attn_proj import ln_attn_proj_residual
+
+    rng = np.random.default_rng(11)
+    b, l, c, h = 1, 60, 128, 2
+    x = jnp.asarray((rng.standard_normal((b, l, c)) * 0.4).astype(np.float32))
+    ln_s = jnp.ones((c,), jnp.float32)
+    ln_b = jnp.zeros((c,), jnp.float32)
+    qkv_w = jnp.asarray((rng.standard_normal((c, 3 * c)) * (c**-0.5)).astype(np.float32))
+    qkv_b = jnp.zeros((3 * c,), jnp.float32)
+    pw = jnp.asarray((rng.standard_normal((c, c)) * (c**-0.5)).astype(np.float32))
+    pb = jnp.zeros((c,), jnp.float32)
+
+    def loss_op(x, qkv_w):
+        return jnp.sum(
+            ln_attn_proj_residual(x, ln_s, ln_b, qkv_w, qkv_b, pw, pb, h) ** 2
+        )
+
+    def loss_ref(x, qkv_w):
+        return jnp.sum(
+            _ln_attn_proj_xla(x, ln_s, ln_b, qkv_w, qkv_b, pw, pb, h) ** 2
+        )
+
+    go = jax.grad(loss_op, argnums=(0, 1))(x, qkv_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, qkv_w)
+    for a, b_ in zip(go, gr):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)

@@ -421,15 +421,23 @@ def swin_block_fused(
 
             batched = n % 128 == 0 and new_kernels_enabled()
 
-    # Group size: masked (shifted) blocks must align groups to the nw-mask
-    # period; unshifted blocks ignore the mask, so groups are limited only
-    # by the total window count and the VMEM budget. This matters most in
-    # stage 3 (window == resolution -> nw == 1), where mask-tied grouping
-    # would run ONE window per grid step.
-    g_limit = nw if apply_mask else w
-    g_win = min(g_limit, 16)
+    # Group size: masked (shifted) blocks must keep groups commensurate
+    # with the nw-mask period — either a group is a sub-period (nw % g ==
+    # 0, mask block indexed i % groups_per_item) or it spans whole items
+    # (g % nw == 0, one CONSTANT tiled-mask block). Unshifted blocks
+    # ignore the mask entirely. This matters most in stage 3 (window ==
+    # resolution -> nw == 1) and stage 2 shifted (nw == 4 would otherwise
+    # cap batching at 4 windows per grid step).
+    def g_ok(g):
+        if w % g:
+            return False
+        if apply_mask and (g % nw) and (nw % g):
+            return False
+        return True
+
+    g_win = min(w, 16)
     while g_win > 1 and (
-        g_limit % g_win
+        not g_ok(g_win)
         or _vmem_estimate(
             g_win, n, c, f, h, x.dtype.itemsize, apply_mask, batched
         )
@@ -437,10 +445,16 @@ def swin_block_fused(
     ):
         g_win -= 1
     num_groups = w // g_win
-    groups_per_item = max(nw // g_win, 1)
+    tiled_mask = apply_mask and g_win % nw == 0
+    groups_per_item = 1 if tiled_mask else max(nw // g_win, 1)
 
     x4 = x.reshape(num_groups, g_win, n, c)
-    mask4 = mask.reshape(groups_per_item, g_win, n, n) if apply_mask else None
+    if not apply_mask:
+        mask4 = None
+    elif tiled_mask:
+        mask4 = jnp.tile(mask, (g_win // nw, 1, 1))[None]  # [1, g_win, n, n]
+    else:
+        mask4 = mask.reshape(groups_per_item, g_win, n, n)
 
     # Output-major (transposed) qkv weights: the kernel computes [C, N]
     # q/k/v tiles so each head is a sublane slice. Proj stays head-split.

@@ -159,8 +159,8 @@ def test_use_approx_is_optin_and_high_recall():
 def test_fast_exact_scan_with_candidate_burst():
     """Adversarial case for the fast-exact scan: one query whose top-k
     contains far more than extract_e near-identical entries inside a single
-    reference tile. The counting verification must flag the row and the
-    rescan must restore the exact result."""
+    reference tile. The truncation-bound certificate must flag the row and
+    the rescan must restore the exact result."""
     from vsc22_tpu.retrieval.search import SimilaritySearcher
 
     rng = np.random.default_rng(11)
@@ -188,6 +188,45 @@ def test_fast_exact_scan_with_candidate_burst():
     assert (np.sort(idx[0])[:40] >= 100).all() and (np.sort(idx[0])[:40] < 160).all()
 
 
+def test_truncation_bound_certificate_raw_scan():
+    """Invariant of the fast scan's certificate, on the RAW (pre-rescan)
+    output: every row whose truncation bound stays strictly below its k-th
+    score holds the true top-k; a planted burst row is flagged."""
+    import jax.numpy as jnp
+
+    from vsc22_tpu.retrieval.search import _row_topk_fast
+
+    rng = np.random.default_rng(5)
+    d, nr, k = 16, 1024, 8
+    refs = rng.standard_normal((nr, d)).astype(np.float32)
+    refs /= np.linalg.norm(refs, axis=1, keepdims=True)
+    q = rng.standard_normal((64, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # row 0: a burst of 40 high-sim entries inside ONE 256-wide tile with a
+    # clearly decreasing sim ladder, so the e=8 extraction provably
+    # truncates (kept 8th == tile bound) and the bound must flag the row
+    target = refs[500] / np.linalg.norm(refs[500])
+    ortho = np.zeros(d, np.float32)
+    ortho[np.argmin(np.abs(target))] = 1.0
+    ortho -= target * (ortho @ target)
+    ortho /= np.linalg.norm(ortho)
+    ladder = target[None, :] + np.linspace(0.05, 0.4, 40, dtype=np.float32)[:, None] * ortho[None, :]
+    refs[300:340] = ladder / np.linalg.norm(ladder, axis=1, keepdims=True)
+    q[0] = target
+
+    s, i, bound = _row_topk_fast(
+        jnp.asarray(q), jnp.asarray(refs), jnp.int32(nr),
+        k=k, ref_tile=256, extract_e=8,
+    )
+    s, i, bound = np.asarray(s), np.asarray(i), np.asarray(bound)
+    sims = q @ refs.T
+    expect = -np.sort(-sims, axis=1)[:, :k]
+    certified = bound < s[:, k - 1]
+    assert not certified[0]          # the burst row must be flagged
+    assert certified[1:].mean() > 0.5  # spread rows mostly certify
+    assert_allclose(s[certified], expect[certified], atol=1e-5)
+
+
 def test_fast_exact_matches_slow_path():
     from vsc22_tpu.retrieval.search import SimilaritySearcher
 
@@ -203,8 +242,8 @@ def test_fast_exact_matches_slow_path():
 
 def test_sharded_fast_exact_scan_with_candidate_burst(cpu_mesh):
     """The cheap-extraction scan on the SHARDED path: a candidate burst
-    inside one shard's tile must be flagged by the psum'd counting pass and
-    restored by the exact sharded rescan."""
+    inside one shard's tile must be flagged by the ICI-max-reduced
+    truncation bound and restored by the exact sharded rescan."""
     from vsc22_tpu.retrieval.search import SimilaritySearcher
 
     rng = np.random.default_rng(13)

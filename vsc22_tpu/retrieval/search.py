@@ -19,6 +19,16 @@ directly on device:
      (exactness fix-up; rare in practice);
   4. host-side sort + truncate.
 
+Fast-exact scan: the default single-pass variant extracts only `extract_e`
+entries per reference tile (iterative max — ~10x cheaper than a per-tile
+`lax.top_k`) and carries, per row, the running max of each tile's e-th
+extracted score. Every entry NOT extracted from a tile is bounded above by
+that tile's e-th extracted value — computed from the very same GEMM output,
+so the bound is bitwise, not a numerical estimate. A row is provably exact
+when its bound stays strictly below its found k-th score; the rare rows that
+fail the certificate are rescanned through the full per-tile `lax.top_k`
+path. No second verification GEMM is needed.
+
 Exactness contract: with the default `use_approx=False` every per-tile
 selection is `lax.top_k`, so `global_topk`/`threshold_search` results are
 exactly the reference's adaptive-range-search semantics. `use_approx=True`
@@ -85,10 +95,12 @@ def _row_topk_impl(
     extract_e > 0 selects the CHEAP per-tile extraction: instead of a full
     [Tq, ref_tile] `lax.top_k` (~100x the tile's GEMM cost), only the top
     `extract_e` entries per tile are peeled with iterative max+mask (e VPU
-    passes) before the narrow carry merge. A row with more than `extract_e`
-    true top-k entries inside one tile comes back truncated — callers MUST
-    verify with `_count_ge_rows` and rescan flagged rows through the exact
-    path (see row_topk).
+    passes) before the narrow carry merge, and a third output `bound [Tq]`
+    is returned: the running max over tiles of the e-th extracted score,
+    an exact (bitwise, same GEMM values) upper bound on every entry the
+    extraction did NOT surface. A row whose bound reaches its k-th returned
+    score may be truncated — callers MUST rescan such rows through the
+    exact path (see row_topk).
     """
     nr, dim = refs.shape
     num_tiles = nr // ref_tile
@@ -113,6 +125,7 @@ def _row_topk_impl(
         col0 = tile_idx * ref_tile
         sims = jnp.where(col0 + col_iota < num_valid, sims, NEG_INF)
         if extract_e:
+            best, bound = carry
             es, ei = [], []
             cur = sims
             for _ in range(extract_e):
@@ -121,10 +134,14 @@ def _row_topk_impl(
                 es.append(m)
                 ei.append(a + col0)
                 cur = jnp.where(col_iota == a[:, None], NEG_INF, cur)
-            return (
-                _merge_topk(*carry, jnp.stack(es, axis=1), jnp.stack(ei, axis=1), k),
-                None,
+            # es[-1] (this tile's e-th extracted score) upper-bounds every
+            # entry of this tile the extraction did not surface — same GEMM
+            # values, so the bound is bitwise-exact.
+            bound = jnp.maximum(bound, es[-1])
+            merged = _merge_topk(
+                *best, jnp.stack(es, axis=1), jnp.stack(ei, axis=1), k
             )
+            return (merged, bound), None
         if use_approx:
             # TPU-accelerated partial reduction; measured recall@32 = 1.000
             # vs exact at full corpus scale, ~1.6x faster than lax.top_k.
@@ -141,11 +158,17 @@ def _row_topk_impl(
         jnp.full((tq, k), NEG_INF, jnp.float32),
         jnp.zeros((tq, k), jnp.int32),
     )
+    if extract_e:
+        init = (init, jnp.full((tq,), NEG_INF, jnp.float32))
     if vary_axis is not None:
         init = jax.tree.map(lambda x: jax.lax.pcast(x, (vary_axis,), to="varying"), init)
-    (scores, indices), _ = jax.lax.scan(
+    carry, _ = jax.lax.scan(
         step, init, (jnp.arange(num_tiles, dtype=jnp.int32), refs_tiled)
     )
+    if extract_e:
+        (scores, indices), bound = carry
+        return scores, indices, bound
+    scores, indices = carry
     return scores, indices
 
 
@@ -155,45 +178,12 @@ def _row_topk_impl(
 def _row_topk_fast(queries, refs, num_valid, *, k: int, ref_tile: int,
                    extract_e: int = 16):
     """Single-device jit entry of the cheap-extraction scan (see
-    `_row_topk_impl` with extract_e > 0)."""
+    `_row_topk_impl` with extract_e > 0). Returns (scores, indices, bound)
+    where `bound[q]` exactly upper-bounds every corpus entry the extraction
+    did not surface for row q."""
     return _row_topk_impl(
         queries, refs, num_valid, k=k, ref_tile=ref_tile, extract_e=extract_e
     )
-
-
-def _count_ge_rows_impl(queries, refs, num_valid, taus, *, ref_tile: int,
-                        vary_axis=None):
-    """Per-row count of sims >= tau_row over the whole corpus (no sorts)."""
-    nr, dim = refs.shape
-    num_tiles = nr // ref_tile
-    tq = queries.shape[0]
-    queries = queries.astype(jnp.float32)
-    refs_tiled = refs.astype(jnp.float32).reshape(num_tiles, ref_tile, dim)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, ref_tile), 1)
-
-    def step(carry, inp):
-        tile_idx, ref_block = inp
-        sims = jax.lax.dot_general(
-            queries, ref_block, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
-        )
-        valid = tile_idx * ref_tile + col_iota < num_valid
-        hit = (sims >= taus[:, None]) & valid
-        return carry + jnp.sum(hit.astype(jnp.int32), axis=1), None
-
-    init = jnp.zeros((tq,), jnp.int32)
-    if vary_axis is not None:
-        init = jax.lax.pcast(init, (vary_axis,), to="varying")
-    counts, _ = jax.lax.scan(
-        step, init, (jnp.arange(num_tiles, dtype=jnp.int32), refs_tiled)
-    )
-    return counts
-
-
-@functools.partial(jax.jit, static_argnames=("ref_tile",))
-def _count_ge_rows(queries, refs, num_valid, taus, *, ref_tile: int):
-    return _count_ge_rows_impl(queries, refs, num_valid, taus, ref_tile=ref_tile)
 
 
 @functools.partial(
@@ -215,18 +205,21 @@ def _make_sharded_row_topk(
 ):
     """shard_map'd row-top-k: refs row-sharded along `axis`, queries
     replicated. With extract_e > 0 each device runs the cheap-extraction
-    scan on its shard (same truncation caveat as `_row_topk_fast`; callers
-    verify with the sharded count and rescan suspects exactly)."""
+    scan on its shard and the per-shard truncation bounds are max-reduced
+    over ICI, so the third output certifies the GLOBAL result (same
+    truncation caveat as `_row_topk_fast`; callers rescan flagged rows
+    through the exact sharded path)."""
 
     def local(q, r, num_valid):
         idx = jax.lax.axis_index(axis)
         base = idx * shard_rows
         local_valid = jnp.clip(num_valid - base, 0, shard_rows)
-        s, i = _row_topk_impl(
+        out = _row_topk_impl(
             q, r, local_valid, k=k, ref_tile=ref_tile, vary_axis=axis,
             compute_dtype=compute_dtype, use_approx=use_approx,
             extract_e=extract_e,
         )
+        s, i = out[:2]
         i = i + base
         # Gather every device's local winners over ICI and re-reduce.
         s_all = jax.lax.all_gather(s, axis)  # [nd, Tq, k]
@@ -236,6 +229,12 @@ def _make_sharded_row_topk(
         i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(tq, nd * k)
         sel_s, sel_pos = jax.lax.top_k(s_flat, k)
         sel_i = jnp.take_along_axis(i_flat, sel_pos, axis=1)
+        if extract_e:
+            # An unseen entry on ANY shard is bounded by that shard's bound;
+            # the k-th global winner can only exceed per-shard k-ths, so the
+            # shard-max bound certifies the merged result too.
+            bound = jax.lax.pmax(out[2], axis)
+            return sel_s, sel_i, bound
         return sel_s, sel_i
 
     # After all_gather + identical reduction the outputs are replicated on
@@ -245,28 +244,7 @@ def _make_sharded_row_topk(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(fn)
-
-
-def _make_sharded_count(mesh: Mesh, axis: str, *, ref_tile: int, shard_rows: int):
-    """shard_map'd `_count_ge_rows`: per-shard counts psum'd over ICI."""
-
-    def local(q, r, num_valid, taus):
-        idx = jax.lax.axis_index(axis)
-        local_valid = jnp.clip(num_valid - idx * shard_rows, 0, shard_rows)
-        counts = _count_ge_rows_impl(
-            q, r, local_valid, taus, ref_tile=ref_tile, vary_axis=axis
-        )
-        return jax.lax.psum(counts, axis)
-
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P(), P()) if extract_e else (P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -332,13 +310,15 @@ class SimilaritySearcher:
         """Per-row top-k; exact unless the searcher opted into use_approx.
         Returns (scores [Nq,k], indices [Nq,k]).
 
-        Exact fast path (default, single-device): the scan extracts only
-        `extract_e` entries per reference tile (iterative max — ~10x
-        cheaper than a per-tile `lax.top_k`), then a sort-free counting
-        pass verifies each row: if more than k corpus entries reach the
-        row's found k-th score, the row may have lost candidates to the
-        per-tile truncation and is rescanned through the full top_k path.
-        The returned set is therefore always a true top-k (tie resolution
+        Exact fast path (default): the scan extracts only `extract_e`
+        entries per reference tile (iterative max — ~10x cheaper than a
+        per-tile `lax.top_k`) and carries an exact per-row upper bound on
+        everything it did not surface (the running max of each tile's e-th
+        extracted score — same GEMM values, so bitwise). Rows whose bound
+        reaches their found k-th score may have lost candidates to the
+        per-tile truncation and are rescanned through the full top_k path;
+        all other rows are certified exact with no second pass. The
+        returned set is therefore always a true top-k (tie resolution
         aside, same as any selection).
         """
         nq = queries.shape[0]
@@ -368,26 +348,22 @@ class SimilaritySearcher:
             q_dev = jnp.asarray(q[start : start + tile])
             if use_fast:
                 if self.mesh is None:
-                    s, i = _row_topk_fast(
+                    s, i, bound = _row_topk_fast(
                         q_dev, self.refs, num_valid,
                         k=k_eff, ref_tile=self.ref_tile, extract_e=self.extract_e,
                     )
-                    counts = _count_ge_rows(
-                        q_dev, self.refs, num_valid, s[:, k_eff - 1],
-                        ref_tile=self.ref_tile,
-                    )
                 else:
-                    s, i = self._get_fast_fn(k_eff)(q_dev, self.refs, num_valid)
-                    counts = self._get_count_fn()(
-                        q_dev, self.refs, num_valid, s[:, k_eff - 1]
+                    s, i, bound = self._get_fast_fn(k_eff)(
+                        q_dev, self.refs, num_valid
                     )
                 s = np.array(s)  # writable (np.asarray of a jax array is RO)
                 i = np.array(i)
-                # Suspect rows: more corpus entries reach the found k-th
-                # score than k (possible tile truncation), or the k-th slot
-                # was never filled with a real candidate at all.
+                # Suspect rows: some unsurfaced corpus entry could reach the
+                # found k-th score (truncation bound not strictly below it),
+                # or the k-th slot was never filled with a real candidate.
                 suspect = np.flatnonzero(
-                    (np.asarray(counts) > k_eff) | (s[:, k_eff - 1] <= NEG_INF / 2)
+                    (np.asarray(bound) >= s[:, k_eff - 1])
+                    | (s[:, k_eff - 1] <= NEG_INF / 2)
                 )
                 # padding rows are all-zero queries; never rescan those
                 suspect = suspect[suspect < max(nq - start, 0)]
@@ -436,14 +412,6 @@ class SimilaritySearcher:
                 extract_e=self.extract_e,
             )
         return self._sharded_cache[key]
-
-    def _get_count_fn(self):
-        if "count" not in self._sharded_cache:
-            self._sharded_cache["count"] = _make_sharded_count(
-                self.mesh, self.mesh_axis,
-                ref_tile=self.ref_tile, shard_rows=self.shard_rows,
-            )
-        return self._sharded_cache["count"]
 
     # ------------------------------------------------------------------
     def global_topk(

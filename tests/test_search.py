@@ -240,6 +240,47 @@ def test_fast_exact_matches_slow_path():
     assert_allclose(sf, ss, atol=2e-3)
 
 
+def test_fused_extract_kernel_parity_and_rescan():
+    """The Pallas fused GEMM+top-e extraction (interpret mode on CPU):
+    row_topk through the fused path must match brute force exactly, with a
+    planted in-tile burst exercising the certificate-flagged exact rescan."""
+    from vsc22_tpu.retrieval.search import SimilaritySearcher
+
+    rng = np.random.default_rng(21)
+    d, nr, k = 128, 8192, 10
+    refs = rng.standard_normal((nr, d)).astype(np.float32)
+    refs /= np.linalg.norm(refs, axis=1, keepdims=True)
+    q = rng.standard_normal((64, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # burst of 20 near-duplicates inside one 1024-wide block (> e=4): the
+    # fused extraction must flag the row and restore it via exact rescan
+    target = refs[1505] / np.linalg.norm(refs[1505])
+    burst = target[None, :] + rng.normal(0, 1e-2, (20, d)).astype(np.float32)
+    refs[1500:1520] = burst / np.linalg.norm(burst, axis=1, keepdims=True)
+    q[0] = target
+
+    searcher = SimilaritySearcher(refs, use_fused_extract=True)
+    scores, idx = searcher.row_topk(q, k)
+    assert searcher._fused_refs_split is not None  # fused path actually ran
+    assert not searcher._fused_failed
+    sims = q @ refs.T
+    expect = -np.sort(-sims, axis=1)[:, :k]
+    assert_allclose(scores, expect, atol=1e-4)
+    assert (np.sort(idx[0])[:k] >= 1500).all() and (np.sort(idx[0])[:k] < 1520).all()
+
+
+def test_fused_extract_auto_gate_off_cpu():
+    """Auto mode never enables the fused kernel off-TPU."""
+    from vsc22_tpu.retrieval.search import SimilaritySearcher
+
+    rng = np.random.default_rng(22)
+    refs = rng.standard_normal((40_000, 128)).astype(np.float32)
+    s = SimilaritySearcher(refs)
+    assert not s._fused_active(64)
+    s.row_topk(rng.standard_normal((8, 128)).astype(np.float32), 5)
+    assert s._fused_refs_split is None
+
+
 def test_sharded_fast_exact_scan_with_candidate_burst(cpu_mesh):
     """The cheap-extraction scan on the SHARDED path: a candidate burst
     inside one shard's tile must be flagged by the ICI-max-reduced

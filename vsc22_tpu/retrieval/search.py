@@ -269,6 +269,7 @@ class SimilaritySearcher:
         use_approx: bool = False,
         transfer_dtype=np.float32,
         extract_e: int = 16,
+        use_fused_extract: Optional[bool] = None,
     ):
         self.num_refs = int(refs.shape[0])
         self.compute_dtype = compute_dtype
@@ -277,6 +278,14 @@ class SimilaritySearcher:
         # Per-tile extraction width of the fast-exact scan (see
         # _row_topk_fast); 0 disables it (always full per-tile top_k).
         self.extract_e = extract_e
+        # Fused Pallas extraction (ops/pallas_topk): GEMM + per-block top-e
+        # peel in VMEM, certificate-compatible with the XLA fast scan. None
+        # = auto (TPU backend, single device, corpus large enough to
+        # amortize). Falls back to the XLA scan on any kernel failure.
+        self.use_fused_extract = use_fused_extract
+        self._fused_tile_q, self._fused_tile_r, self._fused_e = 256, 1024, 4
+        self._fused_refs_split = None
+        self._fused_failed = False
         self.dim = int(refs.shape[1])
         self.mesh = mesh
         self.mesh_axis = mesh_axis
@@ -306,6 +315,40 @@ class SimilaritySearcher:
         return tile if rows % tile == 0 else math.gcd(rows, tile)
 
     # ------------------------------------------------------------------
+    def _fused_active(self, k_pad: int) -> bool:
+        """Whether the Pallas fused extraction serves this row_topk call."""
+        if (
+            self.mesh is not None
+            or self.use_approx
+            or self.compute_dtype is not None
+            or self.extract_e <= 0
+            or self._fused_failed
+        ):
+            return False
+        want = self.use_fused_extract
+        if want is None:
+            want = (
+                jax.default_backend() == "tpu"
+                and self.num_refs >= 32768
+                and self.dim % 128 == 0
+            )
+        if not want:
+            return False
+        nb = _round_up(max(self.num_refs, 1), self._fused_tile_r) // self._fused_tile_r
+        return nb * self._fused_e >= 2 * k_pad
+
+    def _get_fused_refs(self):
+        if self._fused_refs_split is None:
+            from vsc22_tpu.ops.pallas_topk import split_bf16
+
+            r32 = self.refs.astype(jnp.float32)
+            pad = _round_up(r32.shape[0], self._fused_tile_r) - r32.shape[0]
+            if pad:
+                r32 = jnp.pad(r32, ((0, pad), (0, 0)))
+            self._fused_refs_split = split_bf16(r32)
+        return self._fused_refs_split
+
+    # ------------------------------------------------------------------
     def row_topk(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Per-row top-k; exact unless the searcher opted into use_approx.
         Returns (scores [Nq,k], indices [Nq,k]).
@@ -323,7 +366,16 @@ class SimilaritySearcher:
         """
         nq = queries.shape[0]
         k_eff = max(1, min(k, self.num_refs))
-        q = _pad_rows(queries.astype(self.transfer_dtype), 128)
+        # Jitted programs are specialized on k; pad it to the next power of
+        # two (sliced back below) so the budget-doubling callers compile
+        # O(log) distinct programs with corpus-independent shapes — compiles
+        # are minutes through a relay link and dominate cold-cache search.
+        k_pad = 1 << (k_eff - 1).bit_length()
+        use_fused = self._fused_active(k_pad)
+        q = _pad_rows(
+            queries.astype(self.transfer_dtype),
+            self._fused_tile_q if use_fused else 128,
+        )
         tile = min(self.query_tile, q.shape[0])
         if q.shape[0] % tile:
             q = _pad_rows(q, tile)
@@ -341,26 +393,52 @@ class SimilaritySearcher:
             and self.extract_e > 0
             # the fast scan can surface at most e*num_tiles entries per row
             # (per shard, when sharded — each shard contributes its own k)
-            and self.extract_e * num_tiles >= 2 * k_eff
+            and self.extract_e * num_tiles >= 2 * k_pad
         )
-        fn = None if use_fast else self._get_fn(k_eff)
+        fn = None if use_fast else self._get_fn(k_pad)
         for start in range(0, q.shape[0], tile):
             q_dev = jnp.asarray(q[start : start + tile])
-            if use_fast:
+            s = None
+            if use_fused:
+                from vsc22_tpu.ops import pallas_topk
+
+                try:
+                    qh, ql = pallas_topk.split_bf16(q_dev)
+                    s, i, bound = pallas_topk.extract_topk(
+                        qh, ql, *self._get_fused_refs(),
+                        jnp.full((1, 1), self.num_refs, jnp.int32),
+                        e=self._fused_e, tile_q=self._fused_tile_q,
+                        tile_r=self._fused_tile_r, k=k_pad,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                except Exception as exc:  # lowering/VMEM/relay failure
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "fused extraction kernel failed (%s: %s); "
+                        "falling back to the XLA scan",
+                        type(exc).__name__, exc,
+                    )
+                    self._fused_failed = True
+                    use_fused = False
+            if s is None and use_fast:
                 if self.mesh is None:
                     s, i, bound = _row_topk_fast(
                         q_dev, self.refs, num_valid,
-                        k=k_eff, ref_tile=self.ref_tile, extract_e=self.extract_e,
+                        k=k_pad, ref_tile=self.ref_tile, extract_e=self.extract_e,
                     )
                 else:
-                    s, i, bound = self._get_fast_fn(k_eff)(
+                    s, i, bound = self._get_fast_fn(k_pad)(
                         q_dev, self.refs, num_valid
                     )
+            if s is not None:
                 s = np.array(s)  # writable (np.asarray of a jax array is RO)
                 i = np.array(i)
                 # Suspect rows: some unsurfaced corpus entry could reach the
                 # found k-th score (truncation bound not strictly below it),
                 # or the k-th slot was never filled with a real candidate.
+                # The certificate compares at k_eff — the padded tail is not
+                # returned, so it cannot widen the suspect set.
                 suspect = np.flatnonzero(
                     (np.asarray(bound) >= s[:, k_eff - 1])
                     | (s[:, k_eff - 1] <= NEG_INF / 2)
@@ -368,17 +446,22 @@ class SimilaritySearcher:
                 # padding rows are all-zero queries; never rescan those
                 suspect = suspect[suspect < max(nq - start, 0)]
                 if suspect.size:
-                    exact_fn = self._get_fn(k_eff)
-                    es, ei = exact_fn(
-                        jnp.asarray(q[start + suspect]), self.refs, num_valid
-                    )
-                    s[suspect] = np.asarray(es)
-                    i[suspect] = np.asarray(ei)
+                    exact_fn = self._get_fn(k_pad)
+                    # Pad the suspect batch to a power-of-two row count: the
+                    # exact path is shape-specialized, and per-suspect-count
+                    # recompiles are minutes each through a relay link.
+                    n_sus = int(suspect.size)
+                    rows_pad = max(128, 1 << (n_sus - 1).bit_length())
+                    qs = np.zeros((rows_pad, q.shape[1]), q.dtype)
+                    qs[:n_sus] = q[start + suspect]
+                    es, ei = exact_fn(jnp.asarray(qs), self.refs, num_valid)
+                    s[suspect] = np.asarray(es)[:n_sus]
+                    i[suspect] = np.asarray(ei)[:n_sus]
             else:
                 s, i = fn(q_dev, self.refs, num_valid)
                 s, i = np.asarray(s), np.asarray(i)
-            out_s[start : start + tile] = s
-            out_i[start : start + tile] = i
+            out_s[start : start + tile] = s[:, :k_eff]
+            out_i[start : start + tile] = i[:, :k_eff]
         return out_s[:nq], out_i[:nq]
 
     def _get_fn(self, k: int):

@@ -247,7 +247,7 @@ def test_fused_extract_kernel_parity_and_rescan():
     from vsc22_tpu.retrieval.search import SimilaritySearcher
 
     rng = np.random.default_rng(21)
-    d, nr, k = 128, 8192, 10
+    d, nr, k = 128, 32768, 10  # nb*e = 128 >= 8*k_pad: fused gate opens
     refs = rng.standard_normal((nr, d)).astype(np.float32)
     refs /= np.linalg.norm(refs, axis=1, keepdims=True)
     q = rng.standard_normal((64, d)).astype(np.float32)

@@ -335,7 +335,13 @@ class SimilaritySearcher:
         if not want:
             return False
         nb = _round_up(max(self.num_refs, 1), self._fused_tile_r) // self._fused_tile_r
-        return nb * self._fused_e >= 2 * k_pad
+        # Needs more headroom than the XLA scan's 2x sufficiency gate: with
+        # only e=4 per block, rows seeking k comparable to nb*e would flag
+        # the truncation certificate almost surely (expected blocks holding
+        # >= e entries above the row's k-th grows ~ (tile_r*k/Nr)^e) and
+        # everything would rescan. 8x keeps the flag rate negligible for
+        # the global-budget searches while excluding wide threshold scans.
+        return nb * self._fused_e >= 8 * k_pad
 
     def _get_fused_refs(self):
         if self._fused_refs_split is None:

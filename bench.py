@@ -257,6 +257,30 @@ def measure_matching(smoke: bool, stage1_vps: float, n_queries: int = 24):
     return s26, combined
 
 
+def _tpu_relay_down() -> bool:
+    """True when this environment's TPU relay is unreachable.
+
+    The chip is reached through an HTTP relay on 127.0.0.1:8083 that can be
+    down for hours; when it is, the first backend touch (even
+    `jax.default_backend()`) HANGS instead of raising. Probe the socket
+    first so a driver-invoked bench fails fast with a diagnosable JSON line
+    instead of hanging the round.
+    """
+    if (
+        os.environ.get("JAX_PLATFORMS", "axon") == "cpu"
+        or (jax.config.jax_platforms or "") == "cpu"
+        or not os.environ.get("PALLAS_AXON_POOL_IPS")
+    ):
+        return False  # CPU/smoke runs never touch the relay
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=5):
+            return False
+    except OSError:
+        return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny models (CPU check)")
@@ -273,6 +297,17 @@ def main():
     ap.add_argument("--no_matching", action="store_true",
                     help="skip the matching-track secondary measurement")
     args = ap.parse_args()
+
+    if not args.smoke and _tpu_relay_down():
+        print(json.dumps({
+            "metric": "e2e_query_pipeline_throughput",
+            "value": 0.0,
+            "unit": "videos/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "TPU relay 127.0.0.1:8083 unreachable (connection "
+                     "refused); chip not available for this run",
+        }))
+        raise SystemExit(2)
 
     from vsc22_tpu.retrieval.score_norm import query_score_normalize
 

@@ -299,15 +299,28 @@ def main():
     args = ap.parse_args()
 
     if not args.smoke and _tpu_relay_down():
-        print(json.dumps({
-            "metric": "e2e_query_pipeline_throughput",
-            "value": 0.0,
-            "unit": "videos/sec/chip",
-            "vs_baseline": 0.0,
-            "error": "TPU relay 127.0.0.1:8083 unreachable (connection "
-                     "refused); chip not available for this run",
-        }))
-        raise SystemExit(2)
+        # The relay can be down for hours and then return (round-3 postmortem:
+        # an outage at snapshot time zeroed the round's bench). Poll for a
+        # bounded window before giving up so a transient outage doesn't turn
+        # into a 0.0 record.
+        wait = int(os.environ.get("VSC22_BENCH_RELAY_WAIT_SECS", "1800"))
+        import sys
+
+        deadline = time.monotonic() + wait
+        while time.monotonic() < deadline and _tpu_relay_down():
+            print(f"[bench] TPU relay down; re-probing (up to {wait}s total)",
+                  file=sys.stderr, flush=True)
+            time.sleep(min(60, max(1, deadline - time.monotonic())))
+        if _tpu_relay_down():
+            print(json.dumps({
+                "metric": "e2e_query_pipeline_throughput",
+                "value": 0.0,
+                "unit": "videos/sec/chip",
+                "vs_baseline": 0.0,
+                "error": "TPU relay 127.0.0.1:8083 unreachable (connection "
+                         f"refused) for {wait}s; chip not available for this run",
+            }))
+            raise SystemExit(2)
 
     from vsc22_tpu.retrieval.score_norm import query_score_normalize
 
@@ -316,13 +329,19 @@ def main():
         from vsc22_tpu.utils.observability import StageTimer
 
         timer = StageTimer()
+    kernels_state = "n/a"
+    topk_state = "n/a"
     if not args.smoke and jax.default_backend() == "tpu":
         # Newly written Pallas kernels stay behind a gate until one
         # successful on-device compile: a lowering failure here must fall
         # back to the proven round-2 paths, not abort the bench.
-        from vsc22_tpu.ops.kernel_gate import validate_and_enable
+        from vsc22_tpu.ops.kernel_gate import (
+            fused_topk_validated,
+            validate_and_enable,
+        )
 
-        validate_and_enable()
+        kernels_state = "fused" if validate_and_enable() else "fallback"
+        topk_state = "validated" if fused_topk_validated() else "fallback"
     pipe, sizes = build_pipeline(args.smoke, timer=timer)
     res = (128, 128) if args.smoke else (360, 640)
     videos = synth_videos(args.videos, FRAMES_PER_VIDEO, *res)
@@ -397,12 +416,43 @@ def main():
         "pass_rates": [round(r, 3) for r in pass_rates],
         "n_videos": len(videos),
         "frames_per_video": FRAMES_PER_VIDEO,
+        # Self-describing kernel state: "fused" means the round-3 Pallas
+        # kernels passed their on-device canaries and served this run;
+        # "fallback" means the proven round-2 paths ran instead (a lower
+        # number then reflects the gate, not a code regression).
+        "kernels": kernels_state,
+        "fused_topk": topk_state,
     }
     if not args.no_matching:
         # Matching track, vs its own ~1 video/s A100 baseline (M1/README.md:79).
-        s26, combined = measure_matching(
-            args.smoke, videos_per_sec, n_queries=8 if args.smoke else 24
+        # Its stage 1 is the 4 SSCD models WITHOUT the CLIP+VSM VED gate
+        # (M1/infer/infer_matching.py:117-121 loads only the four
+        # *.torchscript.pt SSCD models) — measure that rate with the same
+        # already-compiled extractors, ved=None.
+        from vsc22_tpu.pipelines.batch_query import BatchedQueryPipeline
+
+        m_pipe = BatchedQueryPipeline(
+            pipe.extractors, pca=pipe.pca, ved=None, use_fsd=True,
+            use_device_fsd_maps=True, score_threshold=0.0,
+            out_dim=sizes["out"],
+            ensemble_unroll=os.environ.get("VSC22_ENSEMBLE_UNROLL", "") == "1",
         )
+        m_pipe.process_batch(
+            names[: args.batch], videos[: args.batch],
+            device_videos=dev_videos[: args.batch],
+        )
+        s1m_rates = []
+        for _ in range(max(args.passes - 1, 1)):
+            t0 = time.perf_counter()
+            m_pipe.process_many(
+                names, videos, batch=args.batch, device_videos=dev_videos
+            )
+            s1m_rates.append(len(videos) / (time.perf_counter() - t0))
+        stage1_matching = max(s1m_rates)
+        s26, combined = measure_matching(
+            args.smoke, stage1_matching, n_queries=8 if args.smoke else 24
+        )
+        result["matching_stage1_videos_per_sec"] = round(stage1_matching, 2)
         result["matching_stages2_6_videos_per_sec"] = round(s26, 2)
         result["matching_combined_videos_per_sec"] = round(combined, 2)
         result["matching_vs_baseline_1vps"] = round(combined, 2)

@@ -80,6 +80,14 @@ def main():
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--tiny", action="store_true", help="tiny models (CPU smoke)")
     ap.add_argument("--profile", action="store_true", help="per-stage timings to stderr")
+    ap.add_argument(
+        "--stage1", type=float, default=STAGE1_VIDEOS_PER_SEC,
+        help="stage-1 extraction rate for the combined metric; matching's "
+        "stage 1 is the 4 SSCD models WITHOUT the VED gate (bench.py "
+        "reports it as matching_stage1_videos_per_sec)",
+    )
+    ap.add_argument("--host_sims", action="store_true",
+                    help="force the host sim-matrix path (oracle)")
     args = ap.parse_args()
 
     from vsc22_tpu.models.hrnet import sam_hrnet_tiny_test, sam_hrnet_w18
@@ -147,6 +155,7 @@ def main():
             cls_keep_fraction=0.2,
             max_candidates=25 * args.queries,
             timer=timer,
+            use_device_sims=False if args.host_sims else None,
         )
 
     rows = run()  # warmup/compile
@@ -160,7 +169,7 @@ def main():
         print("--- stage profile ---", file=sys.stderr)
         print(timer.report(), file=sys.stderr)
     s26 = args.queries / elapsed
-    combined = 1.0 / (1.0 / STAGE1_VIDEOS_PER_SEC + 1.0 / s26)
+    combined = 1.0 / (1.0 / args.stage1 + 1.0 / s26)
     print(
         json.dumps(
             {

@@ -29,6 +29,12 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute tests (full-size backbone parity)"
     )
+    config.addinivalue_line(
+        "markers",
+        "heavy: minute-plus CPU tests (pipeline e2e, legacy zoo, FSD corpus)."
+        " Dev loop: pytest -m 'not slow and not heavy' (<5 min on 1 core);"
+        " full tiers: pytest -m 'not slow' then pytest -m slow.",
+    )
 
 
 @pytest.fixture(scope="session")

@@ -426,10 +426,14 @@ class TorchSAMHRNet(nn.Module):
 
 
 class TorchMS(nn.Module):
-    """model.py:63-100 semantics with an explicit BertConfig."""
+    """model.py:63-100 semantics with an explicit BertConfig.
+
+    `output_dim=0` is the MS scorer (1 squeezed logit); >0 is the MD
+    embedding twin (model.py:6-60) — same trunk, wider output head.
+    """
 
     def __init__(self, feat_dim=1024, bert_dim=768, layers=12, heads=12,
-                 max_frames=256, vocab_size=1000):
+                 max_frames=256, vocab_size=1000, output_dim=0):
         super().__init__()
         from transformers import BertConfig, BertModel
 
@@ -448,7 +452,8 @@ class TorchMS(nn.Module):
             attn_implementation="eager",
         )
         self.bert = BertModel(cfg)
-        self.output_proj = nn.Linear(bert_dim * 2, 1)
+        self.output_dim = output_dim
+        self.output_proj = nn.Linear(bert_dim * 2, output_dim or 1)
 
     def forward(self, feats):
         vision_feats = self.frame_proj(feats)
@@ -468,7 +473,8 @@ class TorchMS(nn.Module):
             masks.sum(dim=1, keepdim=True) + 1e-5
         )
         cat_pool = torch.cat([states[:, 0], avg_pool], dim=1)
-        return self.output_proj(cat_pool).squeeze(1)
+        out = self.output_proj(cat_pool)
+        return out if self.output_dim else out.squeeze(1)
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# Minute-plus on the 1-core CI host: excluded from the default dev loop
+# (pytest -m 'not slow and not heavy'); run via the heavy tier.
+pytestmark = pytest.mark.heavy
 from numpy.testing import assert_allclose
 
 from vsc22_tpu.models.clip import clip_tiny_test

@@ -92,6 +92,7 @@ def test_extractor_sequence_parallel_matches_single(cpu_mesh):
     assert sharded.chunk % cpu_mesh.shape["data"] == 0
 
 
+@pytest.mark.heavy
 def test_matching_cli_plumbing(tmp_path):
     """Matching CLI end-to-end with tiny models on planted descriptors."""
     from vsc22_tpu.pipelines import matching_cli

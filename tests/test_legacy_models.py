@@ -8,6 +8,10 @@ import numpy as np
 import optax
 import pytest
 
+# Minute-plus on the 1-core CI host: excluded from the default dev loop
+# (pytest -m 'not slow and not heavy'); run via the heavy tier.
+pytestmark = pytest.mark.heavy
+
 from vsc22_tpu.models.registry import BACKBONES, build_backbone
 
 

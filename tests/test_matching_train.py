@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Multi-minute trainer e2e on the 1-core CI host; heavy tier.
+pytestmark = pytest.mark.heavy
+
 from vsc22_tpu.train.matching import (
     augment_sim,
     create_cnn_state,

@@ -235,6 +235,22 @@ def test_vsm_tiny_parity():
     )
 
 
+def test_vsm_md_embedding_twin_parity():
+    """The `MD` video-embedding variant (model.py:6-60): same trunk as MS,
+    output head maps to an embedding vector instead of one logit."""
+    import dataclasses
+
+    from vsc22_tpu.models.vsm import VSM_TINY_TEST
+
+    _vsm_parity_case(
+        dataclasses.replace(VSM_TINY_TEST, output_dim=24),
+        dict(feat_dim=16, bert_dim=32, layers=2, heads=2, max_frames=8,
+             vocab_size=256, output_dim=24),
+        batch=3,
+        atol=1e-5,
+    )
+
+
 @pytest.mark.slow
 def test_vsm_base_full_model_parity():
     """Full video-score model parity: BERT-base encoder (the

@@ -166,3 +166,82 @@ def test_remat_matches_plain():
     a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s1.params)])
     b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s2.params)])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestBarlowTwins:
+    def test_numpy_oracle(self):
+        """Loss matches a direct numpy transcription of the reference
+        (descriptor_train.py:115-142, world_size=1): torch-std (ddof=1)
+        standardization clamped at 1e-5, C = z1.T z2 / N, on/off-diag sums."""
+        from vsc22_tpu.train.contrastive import barlow_twins_loss
+
+        rng = np.random.default_rng(0)
+        n, d = 16, 8
+        a = rng.standard_normal((n, d)).astype(np.float32)
+        b = (0.7 * a + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+        lambd = 5e-3
+
+        def std(e):
+            return (e - e.mean(0)) / np.clip(e.std(0, ddof=1), 1e-5, None)
+
+        z1, z2 = std(a), std(b)
+        c = z1.T @ z2 / n
+        expect = np.sum((np.diag(c) - 1) ** 2) + lambd * np.sum(
+            (c - np.diag(np.diag(c))) ** 2
+        )
+        got = float(barlow_twins_loss(jnp.asarray(a), jnp.asarray(b), lambd))
+        assert got == pytest.approx(float(expect), rel=1e-5)
+
+    def test_identical_decorrelated_views_minimize(self):
+        """Identical decorrelated views sit at the loss floor.
+
+        With torch-convention ddof=1 standardization, diag(C) = (n-1)/n
+        even for perfectly correlated views, so the attainable minimum is
+        d*(1/n)^2, not 0 — assert we land there, and far below the
+        independent-views value."""
+        from vsc22_tpu.train.contrastive import barlow_twins_loss
+
+        rng = np.random.default_rng(1)
+        n, d = 32, 6
+        a = np.linalg.qr(rng.standard_normal((n, d)))[0].astype(np.float32)
+        floor = d * (1.0 / n) ** 2
+        got = float(barlow_twins_loss(jnp.asarray(a), jnp.asarray(a)))
+        assert got < 2 * floor + 1e-4
+        b = np.linalg.qr(rng.standard_normal((n, d)))[0].astype(np.float32)
+        assert got < 0.1 * float(barlow_twins_loss(jnp.asarray(a), jnp.asarray(b)))
+
+    def test_train_step_with_barlow_runs_and_reports(self):
+        cfg = ContrastiveConfig(
+            total_steps=100, learning_rate=1e-3, entropy_weight=1.0,
+            barlow_weight=0.1,
+        )
+        model = vit_tiny_test_descriptor()
+        batch = make_batch(3)
+        state, tx = create_train_state(model, jax.random.PRNGKey(0), batch, cfg)
+        state, metrics = make_train_step(model, tx, cfg)(
+            state, batch, jax.random.PRNGKey(1)
+        )
+        assert "barlow_loss" in metrics
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_shard_invariance(self, cpu_mesh):
+        """The global-batch formulation makes the loss (and step) identical
+        on 1 device and on the 8-device mesh — unlike the reference's
+        local-stat standardization, whose value drifts with world size."""
+        cfg = ContrastiveConfig(
+            total_steps=100, learning_rate=1e-3, entropy_weight=1.0,
+            barlow_weight=0.1, ema_decay=None,
+        )
+        model = vit_tiny_test_descriptor()
+        batch = make_batch(4)
+        rng = jax.random.PRNGKey(2)
+        s1, tx1 = create_train_state(model, jax.random.PRNGKey(0), batch, cfg)
+        s1, m1 = make_train_step(model, tx1, cfg)(s1, batch, rng)
+        s8, tx8 = create_train_state(
+            model, jax.random.PRNGKey(0), batch, cfg, mesh=cpu_mesh
+        )
+        s8, m8 = make_train_step(model, tx8, cfg, mesh=cpu_mesh)(s8, batch, rng)
+        assert float(m1["barlow_loss"]) == pytest.approx(
+            float(m8["barlow_loss"]), rel=1e-5
+        )
+        assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)

@@ -61,29 +61,40 @@ def edge_map_cv2(frames: Sequence[Array]) -> Array:
 
 @jax.jit
 def _edges_kernel(frames_u8):
-    """Device edge map: grayscale -> 5x5 Gaussian -> Sobel -> NMS -> threshold.
+    """Device edge map: per-channel Sobel -> channel-max -> NMS -> hysteresis.
 
-    A compiled approximation of Canny's strong-edge output (hysteresis is
-    replaced by the high threshold; VSC's downstream logic only consumes
-    row/column densities, which this preserves).
+    A compiled approximation of cv2.Canny(50, 400) on COLOR frames, which
+    is what the reference feeds it (D1/infer/src/image_preprocess.py):
+    OpenCV computes Sobel per channel and keeps, per pixel, the channel
+    with the largest |gx|+|gy| — NOT a grayscale reduction. Grayscale
+    averaging shrinks the per-channel noise tail that carries pixels over
+    the 400 seed threshold, which measurably thins edge lines on
+    low-contrast (gray-bar) boundaries and flips downstream FSD cut rows
+    (tests/test_fsd_fidelity.py is the agreement guard).
     """
-    x = frames_u8.astype(jnp.float32)
-    # BT.601 grayscale as cv2 uses. Canny itself applies no blur.
-    gray = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]  # [N,H,W]
+    x = frames_u8.astype(jnp.float32)  # [N, H, W, 3]
+    n, h, w, _ = x.shape
 
     sobel_x = jnp.asarray([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]])
     sobel_y = sobel_x.T
 
     def conv2(img, k):
-        img = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
-        return jax.lax.conv_general_dilated(
-            img[:, None], k.reshape(1, 1, 3, 3), (1, 1), "VALID",
+        # img [N, H, W, C]: channels ride the batch dim through one conv.
+        flat = jnp.moveaxis(img, -1, 1).reshape(-1, h, w)
+        flat = jnp.pad(flat, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        out = jax.lax.conv_general_dilated(
+            flat[:, None], k.reshape(1, 1, 3, 3), (1, 1), "VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )[:, 0]
+        return jnp.moveaxis(out.reshape(n, -1, h, w), 1, -1)  # [N,H,W,C]
 
-    gx = conv2(gray, sobel_x)
-    gy = conv2(gray, sobel_y)
-    mag = jnp.abs(gx) + jnp.abs(gy)  # L1 norm, cv2 default
+    gx_c = conv2(x, sobel_x)
+    gy_c = conv2(x, sobel_y)
+    mag_c = jnp.abs(gx_c) + jnp.abs(gy_c)  # L1 norm, cv2 default
+    best = jnp.argmax(mag_c, axis=-1, keepdims=True)
+    gx = jnp.take_along_axis(gx_c, best, axis=-1)[..., 0]
+    gy = jnp.take_along_axis(gy_c, best, axis=-1)[..., 0]
+    mag = jnp.take_along_axis(mag_c, best, axis=-1)[..., 0]
 
     # Non-maximum suppression along the quantized gradient direction.
     def shift(a, dy, dx):
@@ -105,7 +116,11 @@ def _edges_kernel(frames_u8):
     strong = keep & (mag > 400.0)  # Canny high threshold
     weak = keep & (mag > 50.0)  # Canny low threshold
 
-    # Bounded hysteresis: weak pixels adjacent to strong ones join (2 hops).
+    # Hysteresis: flood weak pixels 8-connected to strong ones, to
+    # convergence (cv2 floods unboundedly; a fixed small hop count leaves
+    # long weak edge lines with sparse strong seeds mostly unmarked, which
+    # measurably thins boundary rows). Each sweep is 8 cheap shifts; the
+    # cap bounds compile-time unrolling on degenerate inputs.
     def dilate(m):
         acc = m
         for dy in (-1, 0, 1):
@@ -113,8 +128,19 @@ def _edges_kernel(frames_u8):
                 acc = acc | shift(m, dy, dx)
         return acc
 
-    for _ in range(2):
-        strong = strong | (weak & dilate(strong))
+    def body(state):
+        s, _, it = state
+        grown = s | (weak & dilate(s))
+        changed = jnp.any(grown != s)
+        return grown, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < 128)
+
+    strong, _, _ = jax.lax.while_loop(
+        cond, body, (strong, jnp.bool_(True), jnp.int32(0))
+    )
     return jnp.mean(strong.astype(jnp.float32), axis=0)
 
 

@@ -46,11 +46,23 @@ def _ransac_line(
     loops trials in Python (~1 ms each), which made decode the wall-clock
     wall of matching inference (86 of 120 s measured). Returns
     (coef, intercept) of the weighted-least-squares refit on the best
-    trial's inlier set, or None when no valid consensus exists.
+    trial's inlier set, or None when no valid consensus exists. Results are
+    not bit-identical to sklearn (different RNG stream); the procedure —
+    2-point minimal samples drawn without replacement, inlier counting,
+    weighted refit on the best consensus — is the same.
     """
     n = x.shape[0]
     rng = np.random.default_rng(seed)
     pick = rng.integers(0, n, (trials, 2))
+    # Sample each 2-subset without replacement (sklearn's sample_without_
+    # replacement semantics): redraw the second index where it collided, so
+    # no trial is wasted on a degenerate single-point "pair".
+    if n > 1:
+        for _ in range(8):
+            dup = pick[:, 0] == pick[:, 1]
+            if not dup.any():
+                break
+            pick[dup, 1] = rng.integers(0, n, int(dup.sum()))
     x0, x1 = x[pick[:, 0]], x[pick[:, 1]]
     y0, y1 = y[pick[:, 0]], y[pick[:, 1]]
     dx = x1 - x0

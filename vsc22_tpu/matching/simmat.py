@@ -8,12 +8,27 @@ Parity target (reference, for cross-checking — original implementation):
     sample (the classify model sees both orientations);
   - classify inputs are zero-padded square "images" with the matrix stacked
     3x as channels (M1/train/dataset.py), refine inputs 224x224 at infer.
+
+Two implementations of the same contract:
+  - host functions (`select_best_split_segment`, `candidate_sim_matrices`):
+    the reference's per-pair numpy arithmetic, kept as the semantics oracle;
+  - `DeviceSimBuilder`: the serving path. Descriptors are packed ONCE into
+    two device-resident matrices; per candidate batch, one jitted program
+    gathers both videos' rows, runs the pair GEMM, replays the
+    split-segment selection (per-row max -> per-segment top-10 mean ->
+    argmax) and emits the zero-padded square images directly on device.
+    Stages 4/5 then consume device images with no host GEMMs, no per-pair
+    Python packing, and no image shipping (the hosts sends only index
+    arrays — ~24 B/pair instead of ~50 KB/pair of f16 image traffic).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -60,3 +75,177 @@ def pad_sim_matrix(sim: np.ndarray, size: int, channels: int = 3) -> np.ndarray:
     w = min(sim.shape[1], size)
     out[:h, :w, :] = sim[:h, :w, None]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Device path
+# ---------------------------------------------------------------------------
+
+_MAX_SEGS = 8  # FSD yields <=4 scene streams in practice; 8 is safe headroom
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-max(x, 1) // m) * m
+
+
+def _bucket(x: int) -> int:
+    """Power-of-two size bucket (>=128): serving corpora differ per call, and
+    each distinct (fq, fr) is a fresh compile — minutes via a relay link."""
+    return max(128, 1 << (max(x, 1) - 1).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("res", "fq", "fr"))
+def _pair_images(packed_q, packed_r, q_off, q_len, q_nf, r_off, r_len,
+                 *, res: int, fq: int, fr: int):
+    """Per candidate pair: gather rows, GEMM, segment-select, emit image.
+
+    packed_q/packed_r: [*, D] f32 device matrices of all frame descriptors.
+    q_off/q_len: row span of each pair's query video; q_nf its FSD segment
+    length (num_frames); r_off/r_len the ref span. Returns
+    (images [B, res, res] f32, seg_offsets [B] int32) where images replay
+    `pad_sim_matrix(select_best_split_segment(q, r) @ r.T, res)` exactly
+    (M1/infer/src/utils.py:20-75 semantics).
+    """
+
+    def one(qo, ql, qnf, ro, rl):
+        # fq covers the longest query; the extra `res` rows of padding keep
+        # the post-selection dynamic_slice in bounds without clamping shift.
+        qi = qo + jnp.arange(fq + res)
+        qmask = qi < qo + ql
+        q = jnp.take(packed_q, jnp.clip(qi, 0, packed_q.shape[0] - 1), axis=0)
+        q = jnp.where(qmask[:, None], q, 0.0)
+        ri = ro + jnp.arange(fr)
+        rmask = ri < ro + rl
+        r = jnp.take(packed_r, jnp.clip(ri, 0, packed_r.shape[0] - 1), axis=0)
+        r = jnp.where(rmask[:, None], r, 0.0)
+
+        sims = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+
+        # Split-segment selection over the FULL ref axis (reference takes
+        # per-row max over every ref frame, not the truncated window).
+        rowmax = jnp.max(jnp.where(rmask[None, :], sims, _NEG), axis=1)
+        rows = jnp.arange(fq + res)
+        seg = rows // jnp.maximum(qnf, 1)
+        valid_row = rows < ql
+
+        def seg_score(s):
+            vals = jnp.where((seg == s) & valid_row, rowmax, _NEG)
+            top = jax.lax.top_k(vals, 10)[0]
+            finite = top > _NEG / 2
+            n = jnp.maximum(jnp.sum(finite), 1)
+            return jnp.sum(jnp.where(finite, top, 0.0)) / n, jnp.any(finite)
+
+        scores, nonempty = jax.vmap(seg_score)(jnp.arange(_MAX_SEGS))
+        scores = jnp.where(nonempty, scores, _NEG)
+        best = jnp.argmax(scores).astype(jnp.int32)
+        # Single-segment videos (ql == qnf) reduce to best == 0.
+        offset = best * qnf
+
+        img = jax.lax.dynamic_slice(sims, (offset, 0), (res, res))
+        irow = jnp.arange(res)
+        row_ok = (offset + irow < ql) & (irow < qnf)
+        col_ok = jnp.arange(res) < rl
+        img = jnp.where(row_ok[:, None] & col_ok[None, :], img, 0.0)
+        return img, offset
+
+    return jax.vmap(one)(q_off, q_len, q_nf, r_off, r_len)
+
+
+class DeviceSimBuilder:
+    """Packed descriptors + batched on-device candidate image construction.
+
+    Built once per `matching_inference` call from the L2-normalized feature
+    maps; `images()` then serves any candidate list at any resolution with
+    one device program per chunk. Falls back (use_device=False signal from
+    `usable`) when a query has more than `_MAX_SEGS` FSD segments.
+    """
+
+    def __init__(
+        self,
+        query: Dict[str, np.ndarray],
+        ref: Dict[str, np.ndarray],
+        query_video_len_map: Dict[str, int],
+        chunk: int = 32,
+    ):
+        self.chunk = chunk
+
+        def pack(feats: Dict[str, np.ndarray]):
+            ids = list(feats)
+            lens = np.array([feats[v].shape[0] for v in ids], np.int32)
+            offs = np.zeros(len(ids), np.int32)
+            if len(ids) > 1:
+                offs[1:] = np.cumsum(lens)[:-1]
+            mat = (
+                np.concatenate([feats[v] for v in ids], axis=0)
+                if ids else np.zeros((1, 1), np.float32)
+            )
+            index = {v: i for i, v in enumerate(ids)}
+            return jnp.asarray(mat.astype(np.float32)), offs, lens, index
+
+        self.q_mat, self.q_off, self.q_len, self.q_index = pack(query)
+        self.r_mat, self.r_off, self.r_len, self.r_index = pack(ref)
+        self.q_nf = np.array(
+            [
+                max(int(query_video_len_map.get(v, self.q_len[i])), 1)
+                for v, i in sorted(self.q_index.items(), key=lambda kv: kv[1])
+            ],
+            np.int32,
+        ) if len(self.q_index) else np.zeros((0,), np.int32)
+        self.fq = _bucket(int(self.q_len.max()) if self.q_len.size else 1)
+        self.fr = _bucket(int(self.r_len.max()) if self.r_len.size else 1)
+
+    def usable(self) -> bool:
+        if self.q_len.size == 0:
+            return True
+        segs = -(-self.q_len // np.maximum(self.q_nf, 1))
+        return int(segs.max()) <= _MAX_SEGS
+
+    def images(
+        self, pairs: Sequence[Tuple[str, str]], res: int, chunk: int = None
+    ) -> List[Tuple[jax.Array, jax.Array, int]]:
+        """Device image chunks for the pairs, in order.
+
+        Yields (imgs [chunk, res, res] f32, seg_offsets [chunk] i32, n):
+        every chunk keeps the STATIC `chunk` batch shape (tails are padded,
+        `n` marks the valid prefix) so serving never recompiles on a new
+        candidate count. Valid prefixes concatenate to the host path's
+        per-pair `pad_sim_matrix` outputs."""
+        chunk = chunk or self.chunk
+        qi = np.array([self.q_index[q] for q, _ in pairs], np.int32)
+        ri = np.array([self.r_index[r] for _, r in pairs], np.int32)
+        out = []
+        fr = max(self.fr, _bucket(res))
+        for s in range(0, len(pairs), chunk):
+            qs, rs = qi[s : s + chunk], ri[s : s + chunk]
+            n = len(qs)
+            pad = chunk - n
+            if pad:
+                qs = np.concatenate([qs, np.zeros(pad, np.int32)])
+                rs = np.concatenate([rs, np.zeros(pad, np.int32)])
+            imgs, offs = _pair_images(
+                self.q_mat, self.r_mat,
+                jnp.asarray(self.q_off[qs]), jnp.asarray(self.q_len[qs]),
+                jnp.asarray(self.q_nf[qs]),
+                jnp.asarray(self.r_off[rs]), jnp.asarray(self.r_len[rs]),
+                res=res, fq=self.fq, fr=fr,
+            )
+            out.append((imgs, offs, n))
+        return out
+
+    def crop_hw(self, pairs: Sequence[Tuple[str, str]], res: int,
+                seg_offsets: np.ndarray):
+        """(h, w) of each pair's true (untruncated) sim shape.
+
+        h = rows of the SELECTED segment (min(num_frames, rows remaining
+        after its offset)) as in the host path, where a partial trailing
+        segment can be shorter than num_frames."""
+        out = []
+        for (q, r), off in zip(pairs, np.asarray(seg_offsets)):
+            nf = int(self.q_nf[self.q_index[q]])
+            ql = int(self.q_len[self.q_index[q]])
+            seg_rows = max(min(nf, ql - int(off)), 0)
+            out.append(
+                (min(seg_rows, res), min(int(self.r_len[self.r_index[r]]), res))
+            )
+        return out

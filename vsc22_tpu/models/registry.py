@@ -78,6 +78,7 @@ def _register_builtins():
     BACKBONES.register(clip.clip_vit_l14, name="clip_vit_l14")
     BACKBONES.register(clip.clip_tiny_test, name="clip_tiny_test")
     BACKBONES.register(vsm.vsm_base, name="video_score_ms")
+    BACKBONES.register(vsm.vsm_embed, name="video_score_md")
     BACKBONES.register(mobilenetv3.mobilenetv3_small, name="mobilenetv3_small")
     BACKBONES.register(hrnet.sam_hrnet_w18, name="sam_hrnet_w18")
     BACKBONES.register(efficientnet.efficientnet_v2_s, name="efficientnet_v2_s")

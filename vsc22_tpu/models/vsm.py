@@ -36,6 +36,11 @@ class VSMConfig:
     heads: int = 12
     max_frames: int = 256
     dropout: float = 0.1
+    # 0 = the `MS` scorer head (1 logit, squeezed). >0 = the `MD` embedding
+    # twin (D1/train/train_vid_score/video/model.py:6-60): identical trunk,
+    # output_proj maps the 2*hidden pooled state to an `output_dim` vector.
+    # Unused in the winning inference path; part of the reference surface.
+    output_dim: int = 0
 
 
 VSM_BASE = VSMConfig()
@@ -117,11 +122,20 @@ class VideoScoreModel(nn.Module):
         avg_pool = (states * weights).sum(axis=1) / (weights.sum(axis=1) + 1e-5)
         cls_pool = states[:, 0]
         cat = jnp.concatenate([cls_pool, avg_pool], axis=1)
+        if cfg.output_dim > 0:  # MD: embedding head
+            return nn.Dense(cfg.output_dim, dtype=jnp.float32, name="output_proj")(cat)
         return nn.Dense(1, dtype=jnp.float32, name="output_proj")(cat).squeeze(-1)
 
 
 def vsm_base(dtype=jnp.bfloat16) -> VideoScoreModel:
     return VideoScoreModel(cfg=VSM_BASE, dtype=dtype)
+
+
+def vsm_embed(output_dim: int = 256, dtype=jnp.bfloat16) -> VideoScoreModel:
+    """The reference's `MD` video-embedding twin (unused-in-final variant)."""
+    return VideoScoreModel(
+        cfg=dataclasses.replace(VSM_BASE, output_dim=output_dim), dtype=dtype
+    )
 
 
 def vsm_tiny_test(dtype=jnp.float32) -> VideoScoreModel:

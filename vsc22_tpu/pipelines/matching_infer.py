@@ -29,7 +29,11 @@ import numpy as np
 
 from vsc22_tpu.core.types import VideoFeature
 from vsc22_tpu.matching.decode import generate_matching_result
-from vsc22_tpu.matching.simmat import candidate_sim_matrices, select_best_split_segment
+from vsc22_tpu.matching.simmat import (
+    DeviceSimBuilder,
+    candidate_sim_matrices,
+    select_best_split_segment,
+)
 from vsc22_tpu.retrieval.packed import PackedFeatures
 from vsc22_tpu.retrieval.search import SimilaritySearcher
 
@@ -163,6 +167,41 @@ class ClassifyEnsemble:
                 probs[start : start + valid] = sum(preds) / len(preds)
         return probs
 
+    def predict_device(self, chunks) -> Tuple[np.ndarray, np.ndarray]:
+        """Probabilities for `DeviceSimBuilder.images` chunks.
+
+        Each chunk's images join their on-device transposes into one
+        forward — the classify model sees both orientations exactly as the
+        host path's interleaved (sim, sim.T) stream. All chunks are
+        DISPATCHED before any is fetched, so the device queue stays full
+        across chunks on relay links. Returns (probs_orig [N],
+        probs_transposed [N]) aligned with the input pair order.
+        """
+        pending = []
+        for imgs, _, n in chunks:
+            both = jnp.concatenate([imgs, jnp.swapaxes(imgs, 1, 2)], axis=0)
+            if self._scanned is not None:
+                fwd, stack = self._scanned
+                pending.append((fwd(stack, both), None, n))
+            else:
+                pending.append(
+                    (None, [fn(v, both) for fn, v in self._fns], n)
+                )
+        po, pt = [], []
+        for scanned, per_fold, n in pending:
+            if scanned is not None:
+                p = np.asarray(scanned, np.float32)
+            else:
+                p = np.mean([np.asarray(x, np.float32) for x in per_fold], axis=0)
+            c = p.shape[0] // 2
+            po.append(p[:c][:n])
+            pt.append(p[c:][:n])
+        empty = np.zeros((0,), np.float32)
+        return (
+            np.concatenate(po) if po else empty,
+            np.concatenate(pt) if pt else empty,
+        )
+
 
 @dataclasses.dataclass
 class RefineEnsemble:
@@ -253,6 +292,55 @@ class RefineEnsemble:
                 out.append((qid, rid, acc[i, :h, :w], sims[i][:h, :w]))
         return out
 
+    def predict_device(
+        self, builder: "DeviceSimBuilder", pairs: Sequence[Tuple[str, str]]
+    ) -> List[Tuple[str, str, np.ndarray, np.ndarray]]:
+        """Heatmaps with the sim images built on device (`DeviceSimBuilder`).
+
+        Same fold x TTA program as `predict`, but the [224, 224] inputs
+        never exist on the host: the device program gathers the packed
+        descriptors, picks the FSD split segment, and pads — the host ships
+        only index arrays. Dispatch-all-then-fetch keeps the queue full.
+        """
+        chunks = builder.images(pairs, self.resolution, chunk=self.batch)
+        pending = []
+        for imgs, offs, n in chunks:
+            if self._scanned is not None:
+                fwd, stack = self._scanned
+                pending.append((fwd(stack, imgs), None, imgs, offs, n))
+            else:
+                xt = jnp.swapaxes(imgs, 1, 2)
+                per_fold = [
+                    (fn(v, imgs), fn(v, xt)) for fn, v in self._fns
+                ]
+                pending.append((None, per_fold, imgs, offs, n))
+        out = []
+        idx = 0
+        for scanned, per_fold, imgs, offs, n in pending:
+            raw = np.asarray(imgs, np.float32)
+            b = raw.shape[0]
+            if scanned is not None:
+                probs = np.asarray(scanned, np.float32)  # [k, 2B, H, W]
+                p = probs[:, :b]
+                pt = np.swapaxes(probs[:, b:], 2, 3)
+                acc = (p + pt).mean(axis=0) / 2.0
+            else:
+                acc = None
+                for pf, pft in per_fold:
+                    contrib = (
+                        np.asarray(pf, np.float32)
+                        + np.swapaxes(np.asarray(pft, np.float32), 1, 2)
+                    ) / 2.0
+                    acc = contrib if acc is None else acc + contrib
+                acc = acc / len(per_fold)
+            chunk_pairs = pairs[idx : idx + n]
+            hw = builder.crop_hw(chunk_pairs, self.resolution,
+                                 np.asarray(offs)[:n])
+            for i, ((qid, rid), (h, w)) in enumerate(zip(chunk_pairs, hw)):
+                out.append((qid, rid, acc[i, :h, :w], raw[i, :h, :w]))
+            idx += n
+        return out
+
 
 def matching_inference(
     queries: List[VideoFeature],
@@ -267,6 +355,7 @@ def matching_inference(
     max_candidates: int = None,
     mesh=None,
     timer=None,
+    use_device_sims: bool = None,
 ) -> List[List]:
     """Stages 3-6. Returns match rows
     [query_id, ref_id, query_start, query_end, ref_start, ref_end, score].
@@ -295,17 +384,39 @@ def matching_inference(
     query_map = {v.video_id: v.feature for v in queries_n}
     ref_map = {v.video_id: v.feature for v in refs_n}
 
+    # Device sim path (default): pack the descriptors once, build every
+    # candidate's padded sim image on device. Host fallback covers the
+    # degenerate >8-FSD-segments case and explicit opt-out.
+    builder = None
+    if use_device_sims is not False:
+        with stage("pack_descriptors"):
+            builder = DeviceSimBuilder(query_map, ref_map, query_video_len_map)
+            if not builder.usable():
+                builder = None
+
     # Stage 4: classify filter (sim + transpose per candidate).
-    with stage("classify_simmats"):
-        feats, infos = candidate_sim_matrices(
-            query_map, ref_map, candidates, query_video_len_map
-        )
-    with stage("classify_predict"):
-        probs = classify.predict(feats)
     best_prob: Dict[Tuple[str, str], float] = {}
-    for (qid, rid, _), p in zip(infos, probs):
-        key = (qid, rid)
-        best_prob[key] = max(best_prob.get(key, 0.0), float(p))
+    if builder is not None:
+        with stage("classify_simmats"):
+            pair_list = [(q, r) for q, r, _ in candidates]
+            chunks = builder.images(
+                pair_list, classify.resolution, chunk=max(classify.batch // 2, 1)
+            )
+        with stage("classify_predict"):
+            po, pt = classify.predict_device(chunks)
+        for (qid, rid, _), p1, p2 in zip(candidates, po, pt):
+            key = (qid, rid)
+            best_prob[key] = max(best_prob.get(key, 0.0), float(p1), float(p2))
+    else:
+        with stage("classify_simmats"):
+            feats, infos = candidate_sim_matrices(
+                query_map, ref_map, candidates, query_video_len_map
+            )
+        with stage("classify_predict"):
+            probs = classify.predict(feats)
+        for (qid, rid, _), p in zip(infos, probs):
+            key = (qid, rid)
+            best_prob[key] = max(best_prob.get(key, 0.0), float(p))
     selected = [(q, r, p) for (q, r), p in best_prob.items() if p > cls_threshold]
     if cls_keep_fraction is not None and selected:
         keep_n = max(1, int(cls_keep_fraction * len(best_prob)))
@@ -313,18 +424,23 @@ def matching_inference(
 
     # Stage 5: SAM refinement.
     with stage("refine"):
-        meta = [
-            (
-                qid,
-                rid,
-                select_best_split_segment(
-                    query_map[qid], ref_map[rid], query_video_len_map[qid]
-                ),
-                ref_map[rid],
+        if builder is not None:
+            refined = refine.predict_device(
+                builder, [(qid, rid) for qid, rid, _ in selected]
             )
-            for qid, rid, _ in selected
-        ]
-        refined = refine.predict(meta)
+        else:
+            meta = [
+                (
+                    qid,
+                    rid,
+                    select_best_split_segment(
+                        query_map[qid], ref_map[rid], query_video_len_map[qid]
+                    ),
+                    ref_map[rid],
+                )
+                for qid, rid, _ in selected
+            ]
+            refined = refine.predict(meta)
 
     # Stage 6: decode at three operating points; union by max score.
     with stage("decode"):

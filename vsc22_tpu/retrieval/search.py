@@ -61,6 +61,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _device_memory_bytes() -> int:
+    """Best-effort HBM capacity of the default device (v5e default: 16 GB)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return int(limit)
+    except Exception:
+        pass
+    return 16 * 2**30
+
+
 def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
     n = x.shape[0]
     padded = _round_up(max(n, 1), multiple)
@@ -282,6 +294,11 @@ class SimilaritySearcher:
         # peel in VMEM, certificate-compatible with the XLA fast scan. None
         # = auto (TPU backend, single device, corpus large enough to
         # amortize). Falls back to the XLA scan on any kernel failure.
+        # Memory note: the fused path caches bf16 hi/lo splits of the
+        # corpus (= one extra f32-equivalent copy) while self.refs stays
+        # resident for suspect rescans — ~2x corpus footprint on device
+        # (e.g. ~5 GB at 1.28M x 512 f32). The auto gate declines when that
+        # doubled footprint would crowd HBM; an explicit True overrides.
         self.use_fused_extract = use_fused_extract
         self._fused_tile_q, self._fused_tile_r, self._fused_e = 256, 1024, 4
         self._fused_refs_split = None
@@ -331,6 +348,11 @@ class SimilaritySearcher:
                 jax.default_backend() == "tpu"
                 and self.num_refs >= 32768
                 and self.dim % 128 == 0
+                # 2x-footprint guard (refs f32 + bf16 hi/lo splits): stay
+                # under half of the device's HBM so the caller's own
+                # buffers (queries, sims tiles, models) still fit.
+                and 2 * 4 * self.num_refs * self.dim
+                < 0.5 * _device_memory_bytes()
             )
         if not want:
             return False
@@ -417,6 +439,10 @@ class SimilaritySearcher:
                         tile_r=self._fused_tile_r, k=k_pad,
                         interpret=jax.default_backend() != "tpu",
                     )
+                    # Dispatch is async: surface any runtime (post-compile)
+                    # kernel fault HERE so the except clause can fall back,
+                    # instead of crashing at the np.array() fetch below.
+                    jax.block_until_ready((s, i, bound))
                 except Exception as exc:  # lowering/VMEM/relay failure
                     import logging
 

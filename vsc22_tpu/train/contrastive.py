@@ -53,6 +53,10 @@ class ContrastiveConfig:
     ema_decay: Optional[float] = 0.999
     fgm_epsilon: Optional[float] = None  # e.g. 0.1 enables FGM adversarial step
     remat: bool = False  # activation checkpointing (reference --checkpointing)
+    # BarlowTwins auxiliary redundancy-reduction loss on the normalized
+    # embeddings (reference --bl_weight, default 0 in every winning config).
+    barlow_weight: float = 0.0
+    barlow_lambda: float = 5e-3
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -121,6 +125,43 @@ def product_entropy_loss(emb_a: jax.Array, emb_b: jax.Array) -> jax.Array:
     """Alternative positive-pair pull: mean(exp(1 - sim(a_i, b_i)))."""
     match_sim = jnp.sum(emb_a * emb_b, axis=-1)
     return jnp.mean(jnp.exp(1.0 - match_sim))
+
+
+def barlow_twins_loss(
+    emb_a: jax.Array, emb_b: jax.Array, lambd: float = 5e-3
+) -> jax.Array:
+    """BarlowTwins redundancy-reduction: ||diag(C)-1||^2 + lambd*||offdiag(C)||^2.
+
+    Parity target (reference, for cross-checking — original TPU design):
+    D1/train/train_v68/descriptor_train.py:115-142. The reference
+    standardizes each view with its LOCAL per-GPU batch stats, then
+    all-reduces the D x D cross-correlation over ranks — so its loss value
+    drifts with world size. Here both the standardization moments and the
+    cross-correlation are computed over the GLOBAL batch: under jit the
+    batch dim is sharded on the mesh's data axis, so the column-moment
+    reductions and the `z1.T @ z2` contraction lower to the same psum /
+    all-reduce collectives over ICI (the TPU-native form of the
+    reference's explicit `torch.distributed.all_reduce(c)` at :128-129),
+    and the value is shard-count invariant. `std` is the unbiased (ddof=1)
+    estimator, clamped at 1e-5, matching torch `Tensor.std`.
+    """
+    n = emb_a.shape[0]
+    a32 = emb_a.astype(jnp.float32)
+    b32 = emb_b.astype(jnp.float32)
+
+    def standardize(e):
+        mean = e.mean(axis=0)
+        centered = e - mean
+        std = jnp.sqrt(centered.var(axis=0) * n / max(n - 1, 1))
+        return centered / jnp.clip(std, 1e-5, None)
+
+    z1, z2 = standardize(a32), standardize(b32)
+    c = jnp.einsum("nd,ne->de", z1, z2, preferred_element_type=jnp.float32) / n
+    d = c.shape[0]
+    eye = jnp.eye(d, dtype=c.dtype)
+    on_diag = jnp.sum((jnp.diagonal(c) - 1.0) ** 2)
+    off_diag = jnp.sum((c * (1.0 - eye)) ** 2)
+    return on_diag + lambd * off_diag
 
 
 def make_optimizer(cfg: ContrastiveConfig) -> optax.GradientTransformation:
@@ -216,7 +257,13 @@ def make_train_step(model, tx: optax.GradientTransformation, cfg: ContrastiveCon
             ent = entropy_loss(sims_ab, cfg.entropy_weight)
         ici = contrastive_loss(emb_a, emb_b, cfg.temperature, cfg.margin) * cfg.ici_weight
         loss = ici + ent
-        return loss, {"loss": loss, "ici_loss": ici, "entropy_loss": ent}
+        metrics = {"loss": loss, "ici_loss": ici, "entropy_loss": ent}
+        if cfg.barlow_weight > 0.0:
+            bl = barlow_twins_loss(emb_a, emb_b, cfg.barlow_lambda) * cfg.barlow_weight
+            loss = loss + bl
+            metrics["barlow_loss"] = bl
+            metrics["loss"] = loss
+        return loss, metrics
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         img_a, img_b = batch["img_a"], batch["img_b"]

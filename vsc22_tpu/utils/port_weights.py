@@ -107,6 +107,28 @@ def port_vit_augreg_npz(npz: Mapping[str, np.ndarray], params_template) -> Dict:
     return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
+def load_torchscript_state_dict(path) -> Dict[str, np.ndarray]:
+    """Read a ``torch.jit`` archive's parameters+buffers as a numpy state_dict.
+
+    The reference distributes its trained checkpoints as
+    ``torch.jit.trace``d archives of the bare (DDP-prefix-stripped) model
+    (D1/train/train_v106/torch2scripts.py:672-699 and the v68/v107/v115
+    twins), not as eager ``state_dict`` pickles. Tracing preserves module
+    attribute paths, so the loaded ScriptModule's ``state_dict()`` carries
+    the same keys as the eager model and feeds every ``port_*`` entry point
+    in this module unchanged:
+
+        sd = load_torchscript_state_dict("swinv2_v106.torchscript.pt")
+        params = port_swinv2_torch_state_dict(sd, template)
+    """
+    import torch
+
+    mod = torch.jit.load(str(path), map_location="cpu")
+    return {
+        k: v.detach().cpu().numpy() for k, v in mod.state_dict().items()
+    }
+
+
 def port_vit_torch_state_dict(state_dict: Mapping[str, np.ndarray], params_template) -> Dict:
     """Fill VitDescriptor params from a torch SSCD/v68 state_dict.
 

@@ -151,3 +151,53 @@ class TestDecode:
         # Output keys unique.
         keys = {tuple(r[:6]) for r in rows}
         assert len(keys) == len(rows)
+
+
+def test_split_fuse_equals_concat_conv():
+    """The per-scale fuse (conv-before-upsample) equals the reference
+    layout's upsample -> concat -> 1x1 conv, with the same fuse1 params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vsc22_tpu.models.hrnet import _nearest_up, sam_hrnet_tiny_test
+
+    model = sam_hrnet_tiny_test()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    variables = model.init(rng, x)
+    out = np.asarray(model.apply(variables, x, train=False))
+
+    # Oracle: materialize the full-res concat and apply the fuse kernel.
+    from vsc22_tpu.models.hrnet import HRNetFeatures
+
+    fv = {"params": variables["params"]["backbone"],
+          "batch_stats": variables["batch_stats"]["backbone"]}
+    feats = HRNetFeatures(model.cfg).apply(fv, x, train=False)
+    ups = (1, 1, 2, 4, 8)
+    cat = jnp.concatenate(
+        [_nearest_up(f, u) for f, u in zip(feats, ups)], axis=-1
+    )
+    k = variables["params"]["fuse1"]["kernel"][0, 0]
+    b = variables["params"]["fuse1"]["bias"]
+    y = jax.nn.relu(jnp.einsum("bhwc,cf->bhwf", cat, k) + b)
+    k2 = variables["params"]["fuse2"]["kernel"][0, 0]
+    b2 = variables["params"]["fuse2"]["bias"]
+    oracle = np.asarray(jnp.einsum("bhwc,cf->bhwf", y, k2) + b2)
+    np.testing.assert_allclose(out, oracle, atol=2e-5, rtol=2e-5)
+
+
+def test_nearest_up_matches_jax_resize():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vsc22_tpu.models.hrnet import _nearest_up
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 7, 3))
+    for f in (1, 2, 4):
+        a = np.asarray(_nearest_up(x, f))
+        b = np.asarray(
+            jax.image.resize(x, (2, 5 * f, 7 * f, 3), method="nearest")
+        )
+        np.testing.assert_array_equal(a, b)

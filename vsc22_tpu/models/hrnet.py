@@ -94,10 +94,19 @@ class BasicBlock(nn.Module):
 
 
 def _nearest_up(x: jax.Array, factor: int) -> jax.Array:
+    """Integer-factor nearest upsampling as broadcast+reshape.
+
+    Identical to jax.image.resize(..., "nearest") for whole factors (output
+    pixel i reads input i // factor), but lowers to a pure broadcast
+    instead of a gather — XLA fuses it into the surrounding elementwise
+    ops, which matters at the SAM head's full-resolution adds."""
     if factor == 1:
         return x
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * factor, w * factor, c), method="nearest")
+    x = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, factor, w, factor, c)
+    )
+    return x.reshape(b, h * factor, w * factor, c)
 
 
 class HRModule(nn.Module):
@@ -191,11 +200,55 @@ class HRNetFeatures(nn.Module):
         return [stem_out] + xs
 
 
+class _SplitFuse(nn.Module):
+    """The head's 1x1 fuse conv, applied PER SCALE before upsampling.
+
+    Param-tree-compatible with ``nn.Conv(features, (1, 1), name="fuse1")``
+    over the full-resolution multi-scale concat (kernel [1, 1, sum(C), F],
+    bias [F]) — checkpoints port identically — but numerically equal at a
+    fraction of the cost: a 1x1 conv commutes with nearest upsampling, so
+    each scale's slice of the kernel is applied at that branch's native
+    resolution and only the F-channel results are upsampled and summed.
+    The reference layout's [B, 224, 224, 334] concat (~67 MB bf16 per
+    image, rebuilt 4x per pair under fold x TTA) never materializes, and
+    the low-resolution branches' GEMMs shrink by up to 64x.
+    """
+
+    features: int
+    in_channels: Tuple[int, ...]
+    ups: Tuple[int, ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jax.Array]) -> jax.Array:
+        total = sum(self.in_channels)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, total, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        acc = None
+        start = 0
+        for f, c, u in zip(feats, self.in_channels, self.ups):
+            w = kernel[0, 0, start : start + c].astype(self.dtype)
+            y = jnp.dot(
+                f.astype(self.dtype), w, preferred_element_type=jnp.float32
+            )
+            y = _nearest_up(y, u)
+            acc = y if acc is None else acc + y
+            start += c
+        return (acc + bias).astype(self.dtype)
+
+
 class SAMHRNet(nn.Module):
-    """SAM head: multi-scale concat at full resolution -> 1x1 fuse -> 2ch map.
+    """SAM head: multi-scale 1x1 fuse (split form) -> relu -> 2ch map.
 
     Input [B, H, W, C_in] (the sim matrix stacked as channels), output
-    [B, H, W, 2] per-pixel match logits.
+    [B, H, W, 2] per-pixel match logits. Semantics: upsample the 5 feature
+    maps to full resolution, concat (334 ch), 1x1 conv to 64, relu, 1x1
+    conv to 2 (M1/train/models.py:20-48) — the fuse runs in the
+    commuted per-scale form (see _SplitFuse), same values.
     """
 
     cfg: HRNetConfig = HRNET_W18_SAM
@@ -207,10 +260,11 @@ class SAMHRNet(nn.Module):
         feats = HRNetFeatures(self.cfg, dtype=self.dtype, name="backbone")(
             x.astype(self.dtype), train
         )
-        ups = [1, 1, 2, 4, 8]
-        feats = [_nearest_up(f, u) for f, u in zip(feats, ups)]
-        y = jnp.concatenate(feats, axis=-1)
-        y = nn.Conv(self.fuse_channels, (1, 1), dtype=self.dtype, name="fuse1")(y)
+        ups = (1, 1, 2, 4, 8)
+        chans = tuple(int(f.shape[-1]) for f in feats)
+        y = _SplitFuse(
+            self.fuse_channels, chans, ups, dtype=self.dtype, name="fuse1"
+        )(feats)
         y = nn.relu(y)
         return nn.Conv(2, (1, 1), dtype=jnp.float32, name="fuse2")(y)
 

@@ -19,6 +19,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache for the CPU test suite: the 1-core CI host is
+# compile-bound (cold suite ~16 min, mostly XLA), and same-machine cache
+# reuse is safe (cross-MACHINE reuse of CPU AOT entries is not — this dir
+# is gitignored and never shipped). Separate from the TPU .jax_cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

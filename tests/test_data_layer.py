@@ -257,6 +257,7 @@ def test_overlay_pair_dataset(tmp_path):
     assert ds0.sample(0, rng)["label"] == 0
 
 
+@pytest.mark.heavy
 def test_launch_local_workers():
     from vsc22_tpu.parallel.launcher import launch_local
 
@@ -313,6 +314,7 @@ def test_launch_local_detects_silent_worker_death():
     assert time.monotonic() - t0 < 25.0
 
 
+@pytest.mark.heavy
 def test_launch_local_global_deadline():
     """timeout is one global deadline, not per-result: a hung worker
     trips it once regardless of worker count."""
@@ -372,6 +374,7 @@ class _ArangeDataset:
         return {"x": np.full((2, 2), idx, np.float32), "vid": f"V{idx}"}
 
 
+@pytest.mark.heavy
 def test_process_dataloader_matches_contract():
     from vsc22_tpu.data.datasets import DataLoader, ProcessDataLoader
 

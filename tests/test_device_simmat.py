@@ -110,6 +110,7 @@ def test_crop_hw_partial_segment():
     assert hw == [(7, 33)]  # h = remaining rows, w = ref length
 
 
+@pytest.mark.heavy
 def test_matching_inference_device_matches_host():
     """Full stages 3-6 equality between the device sim path and the host
     fallback (same candidates, probabilities, rows)."""

@@ -206,6 +206,7 @@ def make_tiny_video_store(tmp_path, n_videos=3, frames=4):
     return FrameStore.build(str(tmp_path / "f.rec"), videos)
 
 
+@pytest.mark.heavy
 def test_descriptor_cli_end_to_end(tmp_path):
     """One real CLI run: tiny model, 1 epoch, checkpoint written."""
     from vsc22_tpu.train import descriptor_cli

@@ -24,6 +24,7 @@ class TestMobileNetV3:
         variables = model.init(jax.random.PRNGKey(0), images, train=False)
         return model, variables
 
+    @pytest.mark.heavy
     def test_logits_shape(self, model_and_vars):
         model, variables = model_and_vars
         images = jax.random.normal(jax.random.PRNGKey(1), (3, 160, 160, 3))
@@ -51,6 +52,7 @@ class TestMobileNetV3:
 
 
 class TestSamHRNet:
+    @pytest.mark.heavy
     def test_full_resolution_heatmap(self):
         model = sam_hrnet_tiny_test()
         x = jnp.zeros((1, 32, 32, 3))

@@ -97,6 +97,7 @@ def test_tp_sharded_forward_matches_replicated(cpu_mesh_2d, tiny_model_and_param
     assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_vit_dropout_branch_trains():
     """TransformerBlock's non-fused branch (active dropout/drop-path) must
     apply cleanly with rngs and differ across rng keys — regression for

@@ -97,6 +97,7 @@ def torch_oracle_vit(npz, cfg: ViTConfig, images: np.ndarray) -> np.ndarray:
     return tok.numpy()
 
 
+@pytest.mark.heavy
 def test_vit_port_matches_torch_oracle():
     rng = np.random.default_rng(0)
     npz = make_augreg_npz(rng, TINY)
@@ -145,6 +146,7 @@ def test_pos_embed_interpolation():
     assert pos.shape == (1, 17, 16)
 
 
+@pytest.mark.heavy
 def test_swinv2_port_roundtrip_shapes():
     """Build a torch-convention state_dict from our params and port it back."""
     from vsc22_tpu.models.swinv2 import SWINV2_TINY_TEST, SwinTransformerV2
@@ -241,6 +243,7 @@ def test_swinv2_port_roundtrip_shapes():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.heavy
 def test_torchscript_roundtrip_vsm(tmp_path):
     """Transformer path (covers param+buffer state through tracing)."""
     import torch
@@ -278,6 +281,7 @@ def test_torchscript_roundtrip_vsm(tmp_path):
     assert_allclose(out, ref_out, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_torchscript_roundtrip_mobilenetv3(tmp_path):
     """Conv/BN path (covers running-stat buffers through tracing)."""
     import torch

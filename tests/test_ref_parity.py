@@ -235,6 +235,7 @@ def test_vsm_tiny_parity():
     )
 
 
+@pytest.mark.heavy
 def test_vsm_md_embedding_twin_parity():
     """The `MD` video-embedding variant (model.py:6-60): same trunk as MS,
     output head maps to an embedding vector instead of one logit."""

@@ -112,6 +112,7 @@ def test_pallas_row_max_single_row_and_tiny():
     np.testing.assert_allclose(row_max_gemm(q, r), (q @ r.T).max(axis=1), atol=1e-3)
 
 
+@pytest.mark.heavy
 def test_global_topk_exact_at_scale():
     """Exactness regression (VERDICT r1 #6): the default searcher's
     global_topk must equal the numpy brute-force global top-k at a scale

@@ -58,6 +58,7 @@ def test_kernel_matches_reference_interpret(w, n, c, h, nw):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_reference_grad_path():
     rng = np.random.default_rng(1)
     args = _block_args(rng, 2, 64, 128, 4, 1)

@@ -98,6 +98,7 @@ class TestTrainStep:
         leaf_ema = np.asarray(jax.tree.leaves(state.ema_params)[0])
         assert_allclose(leaf_ema, 0.5 * leaf0 + 0.5 * leaf_new, atol=1e-6)
 
+    @pytest.mark.heavy
     def test_fgm_runs_and_changes_training(self):
         model = vit_tiny_test_descriptor()
         batch = make_batch(2, b=4)
@@ -131,6 +132,7 @@ class TestTrainStep:
         assert tx is not None
 
 
+@pytest.mark.heavy
 def test_mesh_step_matches_single_device(cpu_mesh):
     """DP-sharded train step == single-device step (exact global loss)."""
     model = vit_tiny_test_descriptor()
@@ -150,6 +152,7 @@ def test_mesh_step_matches_single_device(cpu_mesh):
     assert_allclose(a, b, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_remat_matches_plain():
     """Activation checkpointing must not change the numerics."""
     model = vit_tiny_test_descriptor()
@@ -224,6 +227,7 @@ class TestBarlowTwins:
         assert "barlow_loss" in metrics
         assert np.isfinite(float(metrics["loss"]))
 
+    @pytest.mark.heavy
     def test_shard_invariance(self, cpu_mesh):
         """The global-batch formulation makes the loss (and step) identical
         on 1 device and on the 8-device mesh — unlike the reference's

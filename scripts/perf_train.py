@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--model", default="vit", choices=["vit", "swin"])
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--fgm", action="store_true",
+                    help="FGM adversarial second pass (reference v106 default)")
+    ap.add_argument("--remat", action="store_true",
+                    help="activation checkpointing (reference --checkpointing)")
     args = ap.parse_args()
 
     from vsc22_tpu.models.swinv2 import swinv2_base_256_descriptor
@@ -55,7 +59,11 @@ def main():
         model = swinv2_base_256_descriptor(dtype=jnp.bfloat16)
         size = 256
 
-    cfg = ContrastiveConfig(total_steps=1000, entropy_weight=30.0)
+    cfg = ContrastiveConfig(
+        total_steps=1000, entropy_weight=30.0,
+        fgm_epsilon=0.1 if args.fgm else None,
+        remat=args.remat,
+    )
     rng = jax.random.PRNGKey(0)
     ka, kb = jax.random.split(rng)
     batch = {
@@ -74,6 +82,13 @@ def main():
     loss = float(metrics["loss"])  # host sync
     elapsed = time.perf_counter() - t0
     images_per_sec = 2 * args.batch * args.steps / elapsed  # two views per step
+    # Reference anchor: each ensemble member trains ~20 min/epoch on 4x8
+    # A100 (D1/README.md:132-138) over the VSC train split (~100k videos ->
+    # ~100k sampled pairs/epoch with the reference's 1-pair-per-video
+    # epoch definition). Projection assumes linear scaling over a v5e mesh
+    # (the step is one pjit program; batch-axis collectives ride ICI).
+    pairs_per_epoch = 100_000
+    epoch_min_1chip = pairs_per_epoch / (images_per_sec / 2) / 60
     print(
         json.dumps(
             {
@@ -81,7 +96,13 @@ def main():
                 "train_images_per_sec": round(images_per_sec, 1),
                 "step_ms": round(1e3 * elapsed / args.steps, 1),
                 "batch_pairs": args.batch,
+                "fgm": bool(args.fgm),
+                "ema": True,
+                "remat": bool(args.remat),
                 "loss": round(loss, 4),
+                "projected_epoch_min_1chip": round(epoch_min_1chip, 1),
+                "projected_epoch_min_32chips": round(epoch_min_1chip / 32, 1),
+                "reference_epoch_min_32xA100": 20,
             }
         )
     )

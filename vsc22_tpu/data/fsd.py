@@ -72,29 +72,40 @@ def _edges_kernel(frames_u8):
     low-contrast (gray-bar) boundaries and flips downstream FSD cut rows
     (tests/test_fsd_fidelity.py is the agreement guard).
     """
-    x = frames_u8.astype(jnp.float32)  # [N, H, W, 3]
-    n, h, w, _ = x.shape
+    # Per-channel Sobel via shifted slices, one rank-3 [N, H, W] array per
+    # channel — NEVER a rank-5 tensor with the 3-channel axis minormost.
+    # (A conv-based formulation transposed channels next to the lane dim;
+    # on TPU that copy pads 3 -> 128 lanes, a 51x HBM blowup that OOMs the
+    # serving batch: f32[24,20,3,360,640] -> 68 GB. Slices keep W minormost
+    # and every intermediate fuses into the elementwise Sobel chain.)
+    def sobel(ch_u8):
+        p = jnp.pad(ch_u8, ((0, 0), (1, 1), (1, 1)), mode="edge").astype(
+            jnp.float32
+        )
+        top, mid, bot = p[:, :-2], p[:, 1:-1], p[:, 2:]
+        gx = (
+            (top[:, :, 2:] - top[:, :, :-2])
+            + 2.0 * (mid[:, :, 2:] - mid[:, :, :-2])
+            + (bot[:, :, 2:] - bot[:, :, :-2])
+        )
+        gy = (
+            (bot[:, :, :-2] + 2.0 * bot[:, :, 1:-1] + bot[:, :, 2:])
+            - (top[:, :, :-2] + 2.0 * top[:, :, 1:-1] + top[:, :, 2:])
+        )
+        return gx, gy
 
-    sobel_x = jnp.asarray([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]])
-    sobel_y = sobel_x.T
-
-    def conv2(img, k):
-        # img [N, H, W, C]: channels ride the batch dim through one conv.
-        flat = jnp.moveaxis(img, -1, 1).reshape(-1, h, w)
-        flat = jnp.pad(flat, ((0, 0), (1, 1), (1, 1)), mode="edge")
-        out = jax.lax.conv_general_dilated(
-            flat[:, None], k.reshape(1, 1, 3, 3), (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[:, 0]
-        return jnp.moveaxis(out.reshape(n, -1, h, w), 1, -1)  # [N,H,W,C]
-
-    gx_c = conv2(x, sobel_x)
-    gy_c = conv2(x, sobel_y)
-    mag_c = jnp.abs(gx_c) + jnp.abs(gy_c)  # L1 norm, cv2 default
-    best = jnp.argmax(mag_c, axis=-1, keepdims=True)
-    gx = jnp.take_along_axis(gx_c, best, axis=-1)[..., 0]
-    gy = jnp.take_along_axis(gy_c, best, axis=-1)[..., 0]
-    mag = jnp.take_along_axis(mag_c, best, axis=-1)[..., 0]
+    # cv2 keeps, per pixel, the channel with the largest |gx|+|gy| (L1
+    # norm, cv2 default); ties resolve to the earliest channel (argmax
+    # first-occurrence semantics), hence the strict '>' below.
+    gx, gy = sobel(frames_u8[..., 0])
+    mag = jnp.abs(gx) + jnp.abs(gy)
+    for c in (1, 2):
+        gx_c, gy_c = sobel(frames_u8[..., c])
+        mag_c = jnp.abs(gx_c) + jnp.abs(gy_c)
+        better = mag_c > mag
+        gx = jnp.where(better, gx_c, gx)
+        gy = jnp.where(better, gy_c, gy)
+        mag = jnp.maximum(mag_c, mag)
 
     # Non-maximum suppression along the quantized gradient direction.
     def shift(a, dy, dx):

@@ -71,11 +71,21 @@ def _noise_bias(
             biases.append(-beta * maxes[row : row + n, None])
             row += n
         return biases
+    # One batched top-k over EVERY video's frames: per-row top-k rows are
+    # independent, so videos can share a single device program — a
+    # per-video loop costs one dispatch+fetch round trip per video
+    # (~0.2 s each through a relay-attached chip; the matching track's
+    # nk=10 pass covers |Q|+|R| videos, so the loop dominated stages 2-6).
     searcher = SimilaritySearcher(noise, mesh=mesh)
+    all_q = np.concatenate([q.feature for q in queries], axis=0)
+    sims, _ = searcher.row_topk(all_q, nk)
+    means = -beta * sims.mean(axis=1, keepdims=True)
     biases = []
+    row = 0
     for q in queries:
-        sims, _ = searcher.row_topk(q.feature, nk)
-        biases.append(-beta * sims.mean(axis=1, keepdims=True))
+        n = len(q.feature)
+        biases.append(means[row : row + n])
+        row += n
     return biases
 
 

@@ -228,7 +228,7 @@ def measure_matching(smoke: bool, stage1_vps: float, n_queries: int = 24):
             m, h = mobilenetv3_small(num_classes=2), sam_hrnet_tiny_test()
         else:
             m = mobilenetv3_small(num_classes=2, dtype=jnp.bfloat16)
-            h = sam_hrnet_w18(dtype=jnp.bfloat16)
+            h = sam_hrnet_w18(dtype=jnp.bfloat16, s2d=True)
         cls_models.append(
             (m, m.init(jax.random.PRNGKey(fold),
                        jnp.zeros((1, CLS_RESOLUTION, CLS_RESOLUTION, 3))))

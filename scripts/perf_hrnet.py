@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--no_s2d", action="store_true",
+                    help="disable the packed branch-0 serving path")
     args = ap.parse_args()
 
     from vsc22_tpu.models.hrnet import (
@@ -57,14 +59,15 @@ def main():
     )
 
     dt = jnp.float32 if args.tiny else jnp.bfloat16
-    model = sam_hrnet_tiny_test() if args.tiny else sam_hrnet_w18(dtype=dt)
+    s2d = not (args.tiny or args.no_s2d)
+    model = sam_hrnet_tiny_test() if args.tiny else sam_hrnet_w18(dtype=dt, s2d=s2d)
     res = 64 if args.tiny else args.res
     b = 2 if args.tiny else args.batch
 
     x = jax.random.normal(jax.random.PRNGKey(0), (b, res, res, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, res, res, 3)))
 
-    report = {"batch": b, "res": res, "dtype": str(dt.__name__ if hasattr(dt, '__name__') else dt)}
+    report = {"batch": b, "res": res, "dtype": str(dt.__name__ if hasattr(dt, '__name__') else dt), "s2d": s2d}
 
     # Full forward.
     sec = time_scanned(
@@ -75,7 +78,7 @@ def main():
     report["pairs_per_sec_4fwd"] = round(b / sec / 4.0, 2)  # 2 folds x TTA
 
     # Backbone only (head cost by difference).
-    feats_model = HRNetFeatures(model.cfg, dtype=dt)
+    feats_model = HRNetFeatures(model.cfg, dtype=dt, s2d_branch0=s2d)
     fv = {"params": variables["params"]["backbone"],
           "batch_stats": variables["batch_stats"]["backbone"]}
     sec_bb = time_scanned(

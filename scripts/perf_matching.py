@@ -119,7 +119,7 @@ def main():
             # f32; bf16 halves the math precision cost at ~1e-2 heatmap
             # probability error (decode thresholds are 0.35/0.1/0.001).
             m = mobilenetv3_small(num_classes=2, dtype=jnp.bfloat16)
-            h = sam_hrnet_w18(dtype=jnp.bfloat16)
+            h = sam_hrnet_w18(dtype=jnp.bfloat16, s2d=True)
         cls_models.append(
             (m, m.init(jax.random.PRNGKey(fold), jnp.zeros((1, CLS_RESOLUTION, CLS_RESOLUTION, 3))))
         )

@@ -62,6 +62,45 @@ class TestSamHRNet:
         assert out.shape == (2, 32, 32, 2)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_s2d_branch0_matches_standard_path(self):
+        """The packed (space-to-depth) branch-0 serving path is numerically
+        the standard forward: same variables, same outputs."""
+        from vsc22_tpu.models.hrnet import sam_hrnet_w18
+
+        m0, m1 = sam_hrnet_tiny_test(), sam_hrnet_tiny_test(s2d=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        v = m0.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+        y0 = m0.apply(v, x, train=False)
+        y1 = m1.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+        # Full W18 width at a reduced resolution (CPU-affordable): the
+        # remap must hold for the real 18/36/72/144 channel plan too.
+        m0, m1 = sam_hrnet_w18(), sam_hrnet_w18(s2d=True)
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        v = m0.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)))
+        y0 = np.asarray(m0.apply(v, x, train=False))
+        y1 = np.asarray(m1.apply(v, x, train=False))
+        np.testing.assert_allclose(y1, y0, atol=1e-2 * max(1.0, np.abs(y0).max()))
+
+    def test_s2d_kernel_remap_identity(self):
+        """conv3x3(x) == d2s(conv3x3_packed(s2d(x))) for a raw kernel."""
+        from vsc22_tpu.models.hrnet import _d2s, _s2d, _s2d_kernel
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 5, 7)), jnp.float32)
+        dn = ("NHWC", "HWIO", "NHWC")
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+        )
+        packed = jax.lax.conv_general_dilated(
+            _s2d(x), _s2d_kernel(w), (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+        )
+        np.testing.assert_allclose(
+            np.asarray(_d2s(packed)), np.asarray(ref), atol=1e-4
+        )
+
     def test_w18_channel_arithmetic(self):
         from vsc22_tpu.models.hrnet import HRNET_W18_SAM
 

@@ -207,7 +207,10 @@ class WindowAttention(nn.Module):
 
         fused = self.fused
         if fused is None:
-            fused = jax.default_backend() == "tpu"
+            # Inference only: the Pallas window-attention kernel defines no
+            # VJP, so differentiating through it (training, FGM) would fail
+            # at trace time — training uses the XLA reference path.
+            fused = jax.default_backend() == "tpu" and deterministic
         if fused:
             out = window_attention_fused(q, k, v, rpb, scale, mask_arr, nw)
         else:

@@ -95,7 +95,7 @@ def main(argv=None):
         refine_model = sam_hrnet_tiny_test()
     else:
         cls_model = mobilenetv3_small()
-        refine_model = sam_hrnet_w18()
+        refine_model = sam_hrnet_w18(s2d=True)
     classify = ClassifyEnsemble(
         _load_cnn(cls_model, (1, CLS_RESOLUTION, CLS_RESOLUTION, 3), args.cls_params)
     )

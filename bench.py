@@ -175,12 +175,20 @@ def build_pipeline(smoke: bool, timer=None):
     return pipe, sizes
 
 
-def measure_matching(smoke: bool, stage1_vps: float, n_queries: int = 24):
+def measure_matching(
+    smoke: bool, stage1_vps: float, n_queries: int = 24, stage1_fn=None
+):
     """Matching-track stages 2-6 (score-norm, recall, classify, SAM refine,
     decode) over synthetic descriptors with planted copies; returns
-    (stages2_6 videos/s, combined-with-stage1 videos/s). Reference anchor:
-    M1 matching inference runs ~1 video/s on one A100 incl. the shared
-    stage-1 extraction (M1/README.md:79)."""
+    (stages2_6 videos/s, combined-with-stage1 videos/s, pipelined videos/s
+    or None). Reference anchor: M1 matching inference runs ~1 video/s on
+    one A100 incl. the shared stage-1 extraction (M1/README.md:79).
+
+    `stage1_fn`, when given, extracts `n_queries` fresh videos; the
+    pipelined number wall-clocks it CONCURRENTLY with stages 2-6 — the
+    steady-state serving shape, where batch k+1's extraction (device-bound)
+    overlaps batch k's matching stages (mixed host/device) on one chip.
+    The serial `combined` stays the reference-comparable number."""
     from vsc22_tpu.core.types import VideoFeature
     from vsc22_tpu.models.hrnet import sam_hrnet_tiny_test, sam_hrnet_w18
     from vsc22_tpu.models.mobilenetv3 import mobilenetv3_small
@@ -254,7 +262,18 @@ def measure_matching(smoke: bool, stage1_vps: float, n_queries: int = 24):
     run()
     s26 = n_queries / (time.perf_counter() - t0)
     combined = 1.0 / (1.0 / stage1_vps + 1.0 / s26)
-    return s26, combined
+
+    pipelined = None
+    if stage1_fn is not None:
+        import threading
+
+        th = threading.Thread(target=stage1_fn)
+        t0 = time.perf_counter()
+        th.start()
+        run()
+        th.join()
+        pipelined = n_queries / (time.perf_counter() - t0)
+    return s26, combined, pipelined
 
 
 def _tpu_relay_down() -> bool:
@@ -449,13 +468,28 @@ def main():
             )
             s1m_rates.append(len(videos) / (time.perf_counter() - t0))
         stage1_matching = max(s1m_rates)
-        s26, combined = measure_matching(
-            args.smoke, stage1_matching, n_queries=8 if args.smoke else 24
+        nq = 8 if args.smoke else 24
+
+        def stage1_fn():
+            m_pipe.process_many(
+                names[:nq], videos[:nq], batch=args.batch,
+                device_videos=dev_videos[:nq],
+            )
+
+        s26, combined, pipelined = measure_matching(
+            args.smoke, stage1_matching, n_queries=nq, stage1_fn=stage1_fn
         )
         result["matching_stage1_videos_per_sec"] = round(stage1_matching, 2)
         result["matching_stages2_6_videos_per_sec"] = round(s26, 2)
         result["matching_combined_videos_per_sec"] = round(combined, 2)
         result["matching_vs_baseline_1vps"] = round(combined, 2)
+        if pipelined is not None:
+            # Steady-state serving: batch k+1's stage-1 extraction runs
+            # concurrently with batch k's stages 2-6 on the same chip
+            # (measured, not modeled — both sides process `nq` videos and
+            # the wall-clock covers everything).
+            result["matching_pipelined_videos_per_sec"] = round(pipelined, 2)
+            result["matching_pipelined_vs_baseline"] = round(pipelined, 2)
     print(json.dumps(result))
 
 

@@ -39,7 +39,9 @@ else:
 import jax.numpy as jnp
 import numpy as np
 
-STAGE1_VIDEOS_PER_SEC = 5.3  # bench.py e2e descriptor rate (README)
+# bench.py's measured matching_stage1_videos_per_sec on the v5e (4 SSCD
+# models, no VED gate; docs/hw_evidence.jsonl bench_pass2, 2026-08-18).
+STAGE1_VIDEOS_PER_SEC = 8.29
 
 
 def make_corpus(n_queries, n_refs, frames, dim, seed=0, planted_frac=0.1):

@@ -33,6 +33,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
+import sys
 import time
 
 import jax
@@ -276,6 +278,52 @@ def measure_matching(
     return s26, combined, pipelined
 
 
+# --- Wall-clock budget -------------------------------------------------
+#
+# Round-4 postmortem: the driver runs `python bench.py` under its own
+# ~30 min timeout; a cold compilation cache plus the full 3-pass +
+# matching-secondary protocol exceeded it and the round's perf record was
+# rc=124 with no JSON line at all. The budget below makes that outcome
+# structurally impossible: the primary result is registered as soon as it
+# exists, every optional stage checks the remaining budget before
+# starting, and a SIGALRM backstop prints the best partial result and
+# exits 0 if anything (compile, relay stall) eats the clock anyway.
+
+_DEADLINE = None  # monotonic timestamp; set in main()
+_PARTIAL = {
+    "metric": "e2e_query_pipeline_throughput",
+    "value": 0.0,
+    "unit": "videos/sec/chip",
+    "vs_baseline": 0.0,
+    "incomplete": "no timed pass completed before the deadline",
+}
+_EMITTED = False
+
+
+def _emit(result) -> None:
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(result), flush=True)
+
+
+def _remaining() -> float:
+    return float("inf") if _DEADLINE is None else _DEADLINE - time.monotonic()
+
+
+def _install_deadline(budget_secs: float) -> None:
+    global _DEADLINE
+    _DEADLINE = time.monotonic() + budget_secs
+
+    def handler(signum, frame):
+        _PARTIAL["deadline_exceeded_secs"] = budget_secs
+        _emit(_PARTIAL)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(max(1, int(budget_secs)))
+
+
 def _tpu_relay_down() -> bool:
     """True when this environment's TPU relay is unreachable.
 
@@ -315,15 +363,25 @@ def main():
     ap.add_argument("--passes", type=int, default=3, help="timed passes (best-of)")
     ap.add_argument("--no_matching", action="store_true",
                     help="skip the matching-track secondary measurement")
+    ap.add_argument("--deadline", type=float,
+                    default=float(os.environ.get("VSC22_BENCH_DEADLINE_SECS",
+                                                 "1500")),
+                    help="hard wall-clock budget in seconds; a JSON line is "
+                    "guaranteed before it expires (0 disables)")
     args = ap.parse_args()
+
+    if args.deadline > 0:
+        _install_deadline(args.deadline)
 
     if not args.smoke and _tpu_relay_down():
         # The relay can be down for hours and then return (round-3 postmortem:
         # an outage at snapshot time zeroed the round's bench). Poll for a
         # bounded window before giving up so a transient outage doesn't turn
-        # into a 0.0 record.
-        wait = int(os.environ.get("VSC22_BENCH_RELAY_WAIT_SECS", "1800"))
-        import sys
+        # into a 0.0 record — but never for more than half the budget, so a
+        # late-returning relay still leaves time to measure something.
+        wait = int(os.environ.get("VSC22_BENCH_RELAY_WAIT_SECS", "600"))
+        if args.deadline > 0:
+            wait = min(wait, int(args.deadline / 2))
 
         deadline = time.monotonic() + wait
         while time.monotonic() < deadline and _tpu_relay_down():
@@ -331,14 +389,14 @@ def main():
                   file=sys.stderr, flush=True)
             time.sleep(min(60, max(1, deadline - time.monotonic())))
         if _tpu_relay_down():
-            print(json.dumps({
+            _emit({
                 "metric": "e2e_query_pipeline_throughput",
                 "value": 0.0,
                 "unit": "videos/sec/chip",
                 "vs_baseline": 0.0,
                 "error": "TPU relay 127.0.0.1:8083 unreachable (connection "
                          f"refused) for {wait}s; chip not available for this run",
-            }))
+            })
             raise SystemExit(2)
 
     from vsc22_tpu.retrieval.score_norm import query_score_normalize
@@ -381,20 +439,33 @@ def main():
 
     # Warmup: compile every stage at the REAL batch size (a smaller prefix
     # would leave per-batch-shaped programs — the VED transformer over
-    # [V, max_frames, D] — to compile inside the timed region).
+    # [V, max_frames, D] — to compile inside the timed region). Timed so
+    # that, if the budget dies during the passes, the warmup rate (compile
+    # included — a pessimistic floor) is still a non-zero record.
+    t0 = time.perf_counter()
     pipe.process_batch(
         names[: args.batch], videos[: args.batch],
         device_videos=dev_videos[: args.batch],
+    )
+    warm_rate = args.batch / (time.perf_counter() - t0)
+    _PARTIAL.update(
+        value=round(warm_rate, 3), vs_baseline=round(warm_rate, 3),
+        incomplete="warmup-batch rate only (compile included); "
+                   "deadline hit before a full timed pass",
     )
     if timer is not None:
         timer.totals.clear()
         timer.counts.clear()
 
-    # Two timed passes, best-of: relay conditions drift run to run (measured
+    # Timed passes, best-of: relay conditions drift run to run (measured
     # +-30% on identical code); the better pass is the steadier estimate of
-    # chip-side throughput.
+    # chip-side throughput. Each pass starts only if the budget has room
+    # for it (1.5x the previous pass as the estimate).
     pass_rates = []
+    pass_cost = 120.0  # first-pass allowance
     for _ in range(args.passes):
+        if _remaining() < 1.5 * pass_cost + 30:
+            break
         t0 = time.perf_counter()
         feats = pipe.process_many(
             names, videos, batch=args.batch, device_videos=dev_videos
@@ -404,34 +475,41 @@ def main():
             score_threshold=0.0, beta=1.2, nk=1,
         )
         elapsed = time.perf_counter() - t0
+        pass_cost = elapsed
         pass_rates.append(len(videos) / elapsed)
+        best = max(pass_rates)
+        _PARTIAL.update(value=round(best, 3), vs_baseline=round(best, 3),
+                        pass_rates=[round(r, 3) for r in pass_rates])
+        _PARTIAL.pop("incomplete", None)
+    if not pass_rates:
+        # Budget exhausted by compiles: the warmup rate is the record.
+        pass_rates = [warm_rate]
     videos_per_sec = max(pass_rates)
     if timer is not None:
-        import sys
-
-        print(f"--- stage profile ({elapsed:.1f}s total) ---", file=sys.stderr)
+        print("--- stage profile ---", file=sys.stderr)
         print(timer.report(), file=sys.stderr)
 
     # Secondary: flagship forward-only (round-1 metric, for continuity).
-    from vsc22_tpu.utils.benchmark import time_scanned
+    fwd_videos_per_sec = None
+    if _remaining() > 120:
+        from vsc22_tpu.utils.benchmark import time_scanned
 
-    vit_ext = pipe.extractors[0]
-    images = jax.random.normal(
-        jax.random.PRNGKey(0), (64, sizes["vit"], sizes["vit"], 3),
-        jnp.bfloat16 if not args.smoke else jnp.float32,
-    )
-    sec = time_scanned(
-        lambda im, p: vit_ext.model.apply(p, im, train=False),
-        (images, vit_ext.params), iters=10, repeats=2,
-    )
-    fwd_videos_per_sec = 64 / sec / FRAMES_PER_VIDEO
+        vit_ext = pipe.extractors[0]
+        images = jax.random.normal(
+            jax.random.PRNGKey(0), (64, sizes["vit"], sizes["vit"], 3),
+            jnp.bfloat16 if not args.smoke else jnp.float32,
+        )
+        sec = time_scanned(
+            lambda im, p: vit_ext.model.apply(p, im, train=False),
+            (images, vit_ext.params), iters=10, repeats=2,
+        )
+        fwd_videos_per_sec = 64 / sec / FRAMES_PER_VIDEO
 
     result = {
         "metric": "e2e_query_pipeline_throughput",
         "value": round(videos_per_sec, 3),
         "unit": "videos/sec/chip",
         "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
-        "secondary_flagship_forward_videos_per_sec": round(fwd_videos_per_sec, 3),
         "pass_rates": [round(r, 3) for r in pass_rates],
         "n_videos": len(videos),
         "frames_per_video": FRAMES_PER_VIDEO,
@@ -442,7 +520,17 @@ def main():
         "kernels": kernels_state,
         "fused_topk": topk_state,
     }
-    if not args.no_matching:
+    if fwd_videos_per_sec is not None:
+        result["secondary_flagship_forward_videos_per_sec"] = round(
+            fwd_videos_per_sec, 3
+        )
+    _PARTIAL.update(result)
+    # The matching secondary needs its own compiles (~6 min cold through the
+    # relay, ~2 min warm) plus the measurement; run it only when the budget
+    # clearly has room, else report the descriptor primary alone.
+    if not args.no_matching and _remaining() < 480:
+        result["matching_skipped"] = "wall-clock budget"
+    if not args.no_matching and _remaining() >= 480:
         # Matching track, vs its own ~1 video/s A100 baseline (M1/README.md:79).
         # Its stage 1 is the 4 SSCD models WITHOUT the CLIP+VSM VED gate
         # (M1/infer/infer_matching.py:117-121 loads only the four
@@ -490,7 +578,7 @@ def main():
             # the wall-clock covers everything).
             result["matching_pipelined_videos_per_sec"] = round(pipelined, 2)
             result["matching_pipelined_vs_baseline"] = round(pipelined, 2)
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":

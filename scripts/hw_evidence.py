@@ -40,7 +40,7 @@ STEPS = [
     ("perf_models", [sys.executable, "scripts/perf_models.py"], 3600),
     ("perf_train_swin_fgm",
      [sys.executable, "scripts/perf_train.py", "--model", "swin",
-      "--batch", "64", "--fgm"], 5400),
+      "--batch", "100", "--fgm", "--remat"], 5400),
     ("scaled_eval",
      [sys.executable, "scripts/scaled_eval.py"], 14400),
 ]

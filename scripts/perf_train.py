@@ -56,13 +56,17 @@ def main():
         model = vit_base_patch32_384_descriptor(dtype=jnp.bfloat16)
         size = 384
     else:
-        model = swinv2_base_256_descriptor(dtype=jnp.bfloat16)
+        # Per-block remat lives in the model (nn.remat on each SwinBlock):
+        # it bounds the backward's peak memory, which the whole-model
+        # jax.checkpoint wrap cannot (the recomputation's residuals still
+        # coexist there).
+        model = swinv2_base_256_descriptor(dtype=jnp.bfloat16, remat=args.remat)
         size = 256
 
     cfg = ContrastiveConfig(
         total_steps=1000, entropy_weight=30.0,
         fgm_epsilon=0.1 if args.fgm else None,
-        remat=args.remat,
+        remat=args.remat and args.model == "vit",
     )
     rng = jax.random.PRNGKey(0)
     ka, kb = jax.random.split(rng)

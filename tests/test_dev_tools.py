@@ -124,3 +124,48 @@ class TestZipExtraction:
         got = dev_tools.read_feature_zip(str(merged), "V3")
         np.testing.assert_allclose(got, np.full((4,), 3, np.float16))
         assert got.dtype == np.float16
+
+
+class TestOverlayExtraction:
+    def test_maps_and_scores_roundtrip(self, tmp_path):
+        """extract_overlay_maps writes <vid>_f maps + <vid>_s scores per
+        video (reference inference_overlay.py key layout), chunked."""
+        items = [
+            (f"V{i}", np.full((5, 4, 4, 3), i, np.float32)) for i in range(4)
+        ]
+
+        def overlay_fn(frames):
+            scores = frames.mean(axis=(1, 2, 3))
+            maps = frames[..., 0] * 0.5
+            return scores, maps
+
+        shards = []
+        total = 0
+        for rank in range(2):
+            p = tmp_path / f"ov{rank}.zip"
+            total += dev_tools.extract_overlay_maps(
+                items, overlay_fn, str(p),
+                process_index=rank, process_count=2, chunk=2,
+            )
+            shards.append(str(p))
+        assert total == 4
+        merged = tmp_path / "ov.zip"
+        assert dev_tools.merge_feature_zips(shards, str(merged)) == 8
+        import zipfile
+        import io
+        with zipfile.ZipFile(str(merged)) as zf:
+            s = np.load(io.BytesIO(zf.read("V2_s")))
+            m = np.load(io.BytesIO(zf.read("V2_f")))
+        np.testing.assert_allclose(s, np.full((5,), 2.0))
+        np.testing.assert_allclose(m, np.full((5, 4, 4), 1.0))
+
+
+def test_host_allocator_tune_is_idempotent():
+    from vsc22_tpu.utils.hostmem import tune_host_allocator
+
+    first = tune_host_allocator()
+    assert tune_host_allocator() == first
+    # large alloc/free cycle still works under the tuned allocator
+    for _ in range(3):
+        a = np.ones((64, 1024, 1024), np.uint8)
+        del a

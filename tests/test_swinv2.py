@@ -217,3 +217,84 @@ def test_swin_forward_fused_matches_xla(tiny_swin):
     finally:
         pwa.window_attention_fused = pwa_fused_orig
     assert_allclose(out, ref, atol=1e-3)
+
+
+def _wa_inputs(seed=0, w=6, h=2, n=16, hd=8, nw=3):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((w, h, n, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((w, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((w, h, n, hd)).astype(np.float32))
+    rpb = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)).astype(np.float32) * 5)
+    mask = jnp.asarray(
+        np.where(rng.random((nw, n, n)) > 0.8, -100.0, 0.0).astype(np.float32)
+    )
+    return q, k, v, rpb, scale, mask, nw
+
+
+def test_chunked_window_attention_matches_reference():
+    """Chunked sweep (forced: tiny temp budget, incl. the pad path) == one-shot."""
+    from vsc22_tpu.ops.pallas_window_attn import (
+        window_attention_chunked,
+        window_attention_reference,
+    )
+
+    q, k, v, rpb, scale, mask, nw = _wa_inputs(seed=1, w=7)  # 7 % chunk != 0
+    ref = window_attention_reference(q, k, v, rpb, scale, mask, nw)
+    got = window_attention_chunked(
+        q, k, v, rpb, scale, mask, nw, max_temp_bytes=2 * 2 * 16 * 16 * 4
+    )
+    assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_window_attention_gradient_matches_reference():
+    """The fused kernel's custom VJP (forward: Pallas interpret; backward:
+    chunked recompute) must give the XLA reference's gradients — this is
+    what FGM input-gradients and fused-path training differentiate through
+    (VERDICT r4 item 3: raw pallas_call has no JVP rule)."""
+    from vsc22_tpu.ops.pallas_window_attn import (
+        window_attention_fused,
+        window_attention_reference,
+    )
+
+    q, k, v, rpb, scale, mask, nw = _wa_inputs(seed=2)
+
+    def loss_ref(q, k, v, rpb, scale):
+        out = window_attention_reference(q, k, v, rpb, scale, mask, nw)
+        return jnp.sum(out * out)
+
+    def loss_fused(q, k, v, rpb, scale):
+        out = window_attention_fused(
+            q, k, v, rpb, scale, mask, nw, interpret=True
+        )
+        return jnp.sum(out * out)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rpb, scale)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, rpb, scale)
+    for a, b in zip(g_fused, g_ref):
+        assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+def test_swin_remat_gradients_match_plain():
+    """Per-block nn.remat changes peak memory, never values: loss and grads
+    must match the plain model bit-for-close."""
+    from vsc22_tpu.models.swinv2 import SWINV2_TINY_TEST, SwinTransformerV2
+
+    plain = SwinTransformerV2(cfg=SWINV2_TINY_TEST, remat=False)
+    remat = SwinTransformerV2(cfg=SWINV2_TINY_TEST, remat=True)
+    images = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    params = plain.init(jax.random.PRNGKey(0), images)
+
+    def loss(model, p):
+        out = model.apply(
+            p, images, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
+        )
+        return jnp.sum(out * out)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)

@@ -21,6 +21,14 @@ Layer map mirrors SURVEY.md §1 of the reference analysis.
 
 __version__ = "0.1.0"
 
+# Keep freed pages resident: the serving hosts fault fresh pages in at
+# ~140 MB/s, so glibc's munmap-on-free made every large numpy temp a
+# page-fault storm (see utils/hostmem.py). Applied at import so every
+# entry point (pipelines, bench, eval scripts) benefits.
+from vsc22_tpu.utils.hostmem import tune_host_allocator as _tune_host_allocator
+
+_tune_host_allocator()
+
 from vsc22_tpu.core.types import (  # noqa: F401
     CandidatePair,
     Match,

@@ -158,8 +158,8 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[np.ndarray], deterministic: bool = True):
         from vsc22_tpu.ops.pallas_window_attn import (
+            window_attention_chunked,
             window_attention_fused,
-            window_attention_reference,
         )
 
         b_, n, c = x.shape
@@ -207,14 +207,19 @@ class WindowAttention(nn.Module):
 
         fused = self.fused
         if fused is None:
-            # Inference only: the Pallas window-attention kernel defines no
-            # VJP, so differentiating through it (training, FGM) would fail
-            # at trace time — training uses the XLA reference path.
+            # The Pallas kernel differentiates via its custom VJP (backward
+            # recomputes through the chunked XLA path), but training keeps
+            # the XLA path for its forward too: per-step shapes vary less
+            # and the kernel's win is HBM traffic, which the chunked form
+            # already bounds.
             fused = jax.default_backend() == "tpu" and deterministic
         if fused:
             out = window_attention_fused(q, k, v, rpb, scale, mask_arr, nw)
         else:
-            out = window_attention_reference(q, k, v, rpb, scale, mask_arr, nw)
+            # Chunked: bounds the [W, H, N, N] logits temps so large
+            # training batches (reference recipe: 100-120 pairs/device,
+            # i.e. 2x that in images) fit HBM; exact same math.
+            out = window_attention_chunked(q, k, v, rpb, scale, mask_arr, nw)
 
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_, n, c).astype(self.dtype)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
@@ -417,6 +422,13 @@ class SwinTransformerV2(nn.Module):
 
     cfg: SwinV2Config = SWINV2_BASE_256
     dtype: jnp.dtype = jnp.float32
+    # Per-block activation rematerialization (reference --checkpointing /
+    # SwinV2 use_checkpoint): only block-boundary activations survive the
+    # forward pass; each block's internals recompute during backward. This
+    # is what makes the reference recipe's batch (100-120 pairs/device)
+    # fit a 16 GB chip — whole-model remat does NOT bound the backward's
+    # peak, since the recomputation's own residuals still coexist.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
@@ -443,11 +455,14 @@ class SwinTransformerV2(nn.Module):
         total_depth = sum(cfg.depths)
         dpr = np.linspace(0, cfg.drop_path_rate, total_depth)
         block_idx = 0
+        block_cls = SwinBlock
+        if self.remat and train:
+            block_cls = nn.remat(SwinBlock, static_argnums=(2,))
         for stage, depth in enumerate(cfg.depths):
             dim = int(cfg.embed_dim * 2**stage)
             resolution = (res // 2**stage, res // 2**stage)
             for i in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim,
                     input_resolution=resolution,
                     num_heads=cfg.num_heads[stage],
@@ -468,9 +483,9 @@ class SwinTransformerV2(nn.Module):
         return nn.Dense(cfg.output_dim, dtype=jnp.float32, name="output_proj")(pooled)
 
 
-def swinv2_base_256_descriptor(dtype=jnp.bfloat16) -> SwinTransformerV2:
+def swinv2_base_256_descriptor(dtype=jnp.bfloat16, remat=False) -> SwinTransformerV2:
     """The v106/v107/v115 ensemble members: SwinV2-Base @ 256, 512-d out."""
-    return SwinTransformerV2(cfg=SWINV2_BASE_256, dtype=dtype)
+    return SwinTransformerV2(cfg=SWINV2_BASE_256, dtype=dtype, remat=remat)
 
 
 def swinv2_tiny_test_descriptor(

@@ -68,7 +68,7 @@ def _make_kernel(g_windows: int, h: int):
 
 
 @functools.partial(jax.jit, static_argnames=("num_shift_windows", "interpret"))
-def window_attention_fused(
+def _fused_call(
     q: jax.Array,  # [W, H, N, hd] (W = batch * windows, window-major per item)
     k: jax.Array,
     v: jax.Array,
@@ -122,6 +122,40 @@ def window_attention_fused(
     return out.reshape(w, h, n, hd)
 
 
+def window_attention_fused(
+    q, k, v, rpb, scale, mask, num_shift_windows, interpret: bool = False
+):
+    """Differentiable entry point for the fused kernel.
+
+    Forward runs the Pallas kernel; the backward recomputes through the
+    (memory-bounded, chunked) XLA implementation — a raw `pallas_call` has
+    no JVP rule, so without this wrapper any differentiation through the
+    fused path (FGM input gradients, training with `fused=True`) fails at
+    trace time.
+    """
+    return _window_attention(q, k, v, rpb, scale, mask, num_shift_windows, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _window_attention(q, k, v, rpb, scale, mask, num_shift_windows, interpret):
+    return _fused_call(q, k, v, rpb, scale, mask, num_shift_windows, interpret)
+
+
+def _wa_fwd(q, k, v, rpb, scale, mask, num_shift_windows, interpret):
+    out = _fused_call(q, k, v, rpb, scale, mask, num_shift_windows, interpret)
+    return out, (q, k, v, rpb, scale, mask)
+
+
+def _wa_bwd(num_shift_windows, interpret, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: window_attention_chunked(*a, num_shift_windows), *residuals
+    )
+    return vjp(g)
+
+
+_window_attention.defvjp(_wa_fwd, _wa_bwd)
+
+
 def window_attention_reference(q, k, v, rpb, scale, mask, num_shift_windows):
     """XLA fallback with identical semantics (used on CPU and in tests)."""
     w, h, n, hd = q.shape
@@ -139,3 +173,61 @@ def window_attention_reference(q, k, v, rpb, scale, mask, num_shift_windows):
         "whnm,whmd->whnd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     return out.astype(q.dtype)
+
+
+def window_attention_chunked(
+    q, k, v, rpb, scale, mask, num_shift_windows, max_temp_bytes=128 * 2**20
+):
+    """Reference semantics with the [W, H, N, N] logits bounded to chunks.
+
+    The XLA reference materializes per-window attention matrices for ALL
+    windows at once — at SwinV2-Base training batches that is >20 GB of f32
+    temps and the backward pass OOMs a 16 GB chip. This form sweeps window
+    chunks with a `lax.map` whose body is `jax.checkpoint`ed: forward and
+    backward peak at one chunk's logits (~`max_temp_bytes`), and gradients
+    are exact (identical math per window, rematerialized in the backward).
+    Delegates to the one-shot reference when everything fits.
+    """
+    w, h, n, hd = q.shape
+    nw = num_shift_windows
+    chunk = max(1, max_temp_bytes // (h * n * n * 4))
+    if chunk >= w:
+        return window_attention_reference(q, k, v, rpb, scale, mask, nw)
+    groups = -(-w // chunk)
+    pad = groups * chunk - w
+    qs, ks, vs = (
+        jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0))) for x in (q, k, v)
+    )
+    mask_idx = (jnp.arange(groups * chunk) % nw).reshape(groups, chunk)
+
+    def body(args):
+        qc, kc, vc, ic = args
+        qf = qc.astype(jnp.float32)
+        kf = kc.astype(jnp.float32)
+        qf = qf * jax.lax.rsqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-12)
+        kf = kf * jax.lax.rsqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-12)
+        attn = jnp.einsum(
+            "whnd,whmd->whnm", qf, kf, preferred_element_type=jnp.float32
+        )
+        attn = attn * scale.reshape(1, -1, 1, 1)
+        attn = attn + rpb[None]
+        attn = attn + mask[ic][:, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "whnm,whmd->whnd",
+            attn.astype(vc.dtype),
+            vc,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(q.dtype)
+
+    out = jax.lax.map(
+        jax.checkpoint(body),
+        (
+            qs.reshape(groups, chunk, h, n, hd),
+            ks.reshape(groups, chunk, h, n, hd),
+            vs.reshape(groups, chunk, h, n, hd),
+            mask_idx,
+        ),
+    )
+    return out.reshape(groups * chunk, h, n, hd)[:w]

@@ -194,6 +194,49 @@ def extract_features_to_zip(
     return written
 
 
+def extract_overlay_maps(
+    items: Iterable[Tuple[str, np.ndarray]],
+    overlay_fn: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray]],
+    zip_path: str,
+    process_index: int = 0,
+    process_count: int = 1,
+    chunk: int = 128,
+) -> int:
+    """Per-frame overlay detection maps + scores into a STORED zip.
+
+    TPU-framework equivalent of the reference's dev-only overlay extractor
+    (D1/train/train_v107/vsc/baseline/inference_overlay.py:55-117 —
+    original implementation, for cross-checking): for every video, the
+    model's per-frame decoder maps are written as ``<vid>_f`` and the
+    sigmoid frame scores as ``<vid>_s`` (one .npy each, same key layout).
+
+    ``overlay_fn`` maps a [n, H, W, 3] frame stack to (scores [n],
+    maps [n, ...]); frames are fed in ``chunk``-frame slices exactly like
+    the reference's 128-frame sub-batching, so arbitrarily long videos
+    never exceed one chunk of device memory. Videos are strided across
+    processes; shards merge with ``merge_feature_zips``.
+    """
+    items = list(items)
+    keys = set(shard_videos([k for k, _ in items], process_index, process_count))
+    written = 0
+    with zipfile.ZipFile(zip_path, "w", compression=zipfile.ZIP_STORED) as zf:
+        for key, frames in items:
+            if key not in keys:
+                continue
+            scores, maps = [], []
+            for i in range(0, len(frames), chunk):
+                s, m = overlay_fn(frames[i : i + chunk])
+                scores.append(np.asarray(s))
+                maps.append(np.asarray(m))
+            for suffix, arr in (("_f", np.concatenate(maps)),
+                                ("_s", np.concatenate(scores))):
+                buf = io.BytesIO()
+                np.save(buf, arr)
+                zf.writestr(f"{key}{suffix}", buf.getvalue())
+            written += 1
+    return written
+
+
 def merge_feature_zips(shard_paths: Sequence[str], out_path: str) -> int:
     """Concatenate per-process feature zips into one (rank-0 merge step)."""
     n = 0

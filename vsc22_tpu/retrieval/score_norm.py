@@ -41,6 +41,56 @@ def _delete_dim(features: List[VideoFeature], dim: int) -> List[VideoFeature]:
     return transform_features(features, lambda f: np.delete(f, dim, axis=1))
 
 
+def _repack(features: List[VideoFeature], packed: np.ndarray) -> List[VideoFeature]:
+    """Split a packed [sum(N_i), D] matrix back into per-video views."""
+    offsets = np.cumsum([len(f.feature) for f in features[:-1]])
+    return [
+        dataclasses.replace(f, feature=part)
+        for f, part in zip(features, np.split(packed, offsets))
+    ]
+
+
+def _prepare(
+    features: List[VideoFeature],
+    delete_dim: Optional[int],
+    l2_normalize: bool,
+    append: Optional[np.ndarray] = None,
+) -> List[VideoFeature]:
+    """delete-dim -> L2 -> optional appended column, on one PACKED matrix.
+
+    The output matrix is allocated exactly once and filled with contiguous
+    slice copies; the delete/normalize/append all happen in place. The
+    naive form (per-video `np.delete`/normalize/concat, or a packed
+    boolean column gather plus two whole-matrix concatenates) costs
+    minutes of single-core host time at the 40k-video corpus scale — >10x
+    the device work of the whole normalization.
+    """
+    if not features:
+        return []
+    d = features[0].feature.shape[1]
+    kept = d - (1 if delete_dim is not None else 0)
+    extra = append.shape[1] if append is not None else 0
+    n_rows = sum(len(f.feature) for f in features)
+    out = np.empty((n_rows, kept + extra), features[0].feature.dtype)
+    row = 0
+    for f in features:
+        m = len(f.feature)
+        if delete_dim is None:
+            out[row : row + m, :d] = f.feature
+        else:
+            out[row : row + m, :delete_dim] = f.feature[:, :delete_dim]
+            out[row : row + m, delete_dim:kept] = f.feature[:, delete_dim + 1 :]
+        row += m
+    if l2_normalize:
+        norms = np.sqrt(
+            np.einsum("ij,ij->i", out[:, :kept], out[:, :kept], optimize=True)
+        )
+        out[:, :kept] /= np.maximum(norms, 1e-12)[:, None]
+    if append is not None:
+        out[:, kept:] = append
+    return _repack(features, out)
+
+
 def _min_variance_dim(features: List[VideoFeature]) -> int:
     stacked = np.concatenate([f.feature for f in features], axis=0)
     return int(stacked.var(axis=0).argmin())
@@ -52,41 +102,26 @@ def _noise_bias(
     beta: float,
     nk: int,
     mesh: Optional[Mesh] = None,
-) -> List[np.ndarray]:
-    """Per-query-frame bias = -beta * mean(top-nk sims to the noise corpus).
+) -> np.ndarray:
+    """Packed per-query-frame bias [sum(N_i), 1] =
+    -beta * mean(top-nk sims to the noise corpus).
 
     nk=1 (the descriptor-track default) uses the fused Pallas GEMM+row-max
-    kernel — the similarity matrix never touches HBM.
+    kernel — the similarity matrix never touches HBM. nk>1 runs one
+    batched top-k over EVERY video's frames (a per-video loop costs one
+    dispatch+fetch round trip per video, ~0.2 s each through a
+    relay-attached chip; the matching track's nk=10 pass covers |Q|+|R|
+    videos, so the loop dominated stages 2-6).
     """
     noise = np.concatenate([r.feature for r in score_norm_refs], axis=0)
+    all_q = np.concatenate([q.feature for q in queries], axis=0)
     if nk == 1 and mesh is None:
         from vsc22_tpu.ops.pallas_sim import row_max_gemm
 
-        all_q = np.concatenate([q.feature for q in queries], axis=0)
-        maxes = row_max_gemm(all_q, noise)
-        biases = []
-        row = 0
-        for q in queries:
-            n = len(q.feature)
-            biases.append(-beta * maxes[row : row + n, None])
-            row += n
-        return biases
-    # One batched top-k over EVERY video's frames: per-row top-k rows are
-    # independent, so videos can share a single device program — a
-    # per-video loop costs one dispatch+fetch round trip per video
-    # (~0.2 s each through a relay-attached chip; the matching track's
-    # nk=10 pass covers |Q|+|R| videos, so the loop dominated stages 2-6).
+        return -beta * row_max_gemm(all_q, noise)[:, None]
     searcher = SimilaritySearcher(noise, mesh=mesh)
-    all_q = np.concatenate([q.feature for q in queries], axis=0)
     sims, _ = searcher.row_topk(all_q, nk)
-    means = -beta * sims.mean(axis=1, keepdims=True)
-    biases = []
-    row = 0
-    for q in queries:
-        n = len(q.feature)
-        biases.append(means[row : row + n])
-        row += n
-    return biases
+    return -beta * sims.mean(axis=1, keepdims=True)
 
 
 def _check_disjoint(refs: List[VideoFeature], score_norm_refs: List[VideoFeature]):
@@ -109,26 +144,18 @@ def score_normalize(
 ) -> Tuple[List[VideoFeature], List[VideoFeature]]:
     """Normalize queries and refs together against a noise corpus."""
     _check_disjoint(refs, score_norm_refs)
-    if score_norm_refs is not None and replace_dim:
-        low_var_dim = _min_variance_dim(score_norm_refs)
-        queries, refs, score_norm_refs = (
-            _delete_dim(x, low_var_dim) for x in (queries, refs, score_norm_refs)
-        )
-    if l2_normalize:
-        queries, refs, score_norm_refs = (
-            transform_features(x, _l2_normalize) for x in (queries, refs, score_norm_refs)
-        )
-    biases = _noise_bias(queries, score_norm_refs, beta, nk, mesh=mesh)
-    adapted_queries = [
-        dataclasses.replace(q, feature=np.concatenate([q.feature, b], axis=1))
-        for q, b in zip(queries, biases)
-    ]
-    adapted_refs = [
-        dataclasses.replace(
-            r, feature=np.concatenate([r.feature, np.ones_like(r.feature[:, :1])], axis=1)
-        )
-        for r in refs
-    ]
+    low_var_dim = (
+        _min_variance_dim(score_norm_refs)
+        if score_norm_refs is not None and replace_dim
+        else None
+    )
+    score_norm_refs = _prepare(score_norm_refs, low_var_dim, l2_normalize)
+    queries = _prepare(queries, low_var_dim, l2_normalize)
+    bias = _noise_bias(queries, score_norm_refs, beta, nk, mesh=mesh)
+    adapted_queries = _prepare(queries, None, False, append=bias)
+    n_ref_rows = sum(len(r.feature) for r in refs)
+    ones = np.ones((n_ref_rows, 1), refs[0].feature.dtype if refs else np.float32)
+    adapted_refs = _prepare(refs, low_var_dim, l2_normalize, append=ones)
     return adapted_queries, adapted_refs
 
 
@@ -149,23 +176,20 @@ def query_score_normalize(
     Queries whose video score is below ``score_threshold`` get bias -100,
     effectively removing all their candidate similarities.
     """
-    if score_norm_refs is not None and replace_dim:
-        queries, score_norm_refs = (
-            _delete_dim(x, low_var_dim) for x in (queries, score_norm_refs)
+    dim = low_var_dim if score_norm_refs is not None and replace_dim else None
+    queries = _prepare(queries, dim, l2_normalize)
+    score_norm_refs = _prepare(score_norm_refs, dim, l2_normalize)
+    bias = _noise_bias(queries, score_norm_refs, beta, nk, mesh=mesh)
+    if video_scores is not None:
+        gated = np.repeat(
+            np.fromiter(
+                (video_scores[q.video_id] < score_threshold for q in queries),
+                bool, count=len(queries),
+            ),
+            [len(q.feature) for q in queries],
         )
-    if l2_normalize:
-        queries, score_norm_refs = (
-            transform_features(x, _l2_normalize) for x in (queries, score_norm_refs)
-        )
-    biases = _noise_bias(queries, score_norm_refs, beta, nk, mesh=mesh)
-    adapted = []
-    for q, b in zip(queries, biases):
-        if video_scores is not None and video_scores[q.video_id] < score_threshold:
-            b = np.full_like(b, -100.0)
-        adapted.append(
-            dataclasses.replace(q, feature=np.concatenate([q.feature, b], axis=1))
-        )
-    return adapted
+        bias = np.where(gated[:, None], -100.0, bias).astype(bias.dtype)
+    return _prepare(queries, None, False, append=bias)
 
 
 def ref_score_normalize(
@@ -178,18 +202,13 @@ def ref_score_normalize(
 ) -> List[VideoFeature]:
     """Reference-side normalization: delete noise min-var dim, L2, append 1s."""
     _check_disjoint(refs, score_norm_refs)
-    if score_norm_refs is not None and replace_dim:
-        low_var_dim = _min_variance_dim(score_norm_refs)
-        refs, score_norm_refs = (
-            _delete_dim(x, low_var_dim) for x in (refs, score_norm_refs)
-        )
-    if l2_normalize:
-        refs, score_norm_refs = (
-            transform_features(x, _l2_normalize) for x in (refs, score_norm_refs)
-        )
-    return [
-        dataclasses.replace(
-            r, feature=np.concatenate([r.feature, np.ones_like(r.feature[:, :1])], axis=1)
-        )
-        for r in refs
-    ]
+    dim = (
+        _min_variance_dim(score_norm_refs)
+        if score_norm_refs is not None and replace_dim
+        else None
+    )
+    if not refs:
+        return []
+    n_rows = sum(len(r.feature) for r in refs)
+    ones = np.ones((n_rows, 1), refs[0].feature.dtype)
+    return _prepare(refs, dim, l2_normalize, append=ones)

@@ -129,7 +129,7 @@ KINDS = [
     "plain", "static", "letterbox", "letterbox_gray", "pillarbox",
     "vstack", "hstack", "grid2x2", "text_overlay",
 ]
-SEEDS_PER_KIND = 6
+SEEDS_PER_KIND = 12
 
 
 def _corpus():
@@ -138,12 +138,15 @@ def _corpus():
 
 @pytest.mark.heavy
 def test_cut_decision_agreement():
-    """clean_boxes from device maps == clean_boxes from cv2 maps, >=98%.
+    """clean_boxes from device maps == clean_boxes from cv2 maps, >=99%.
 
-    The bar is video-level box-list equality over a 54-video corpus
+    The bar is video-level box-list equality over a 108-video corpus
     spanning every edit family; any systematic divergence (e.g. a
     threshold mismatch that splits letterboxes differently) would fail
-    far below the bar, while the bar tolerates single borderline videos.
+    far below the bar, while the bar tolerates one borderline video.
+    Measured 2026-08-19 (after the round-4 cv2-faithful edge kernel,
+    e2f32a2/e3062d6): 180/180 exact agreement at 20 seeds/kind — the
+    round-3 residual 2% was the pre-fix hysteresis tail behavior.
     """
     agree, total = 0, 0
     disagreements = []
@@ -159,7 +162,7 @@ def test_cut_decision_agreement():
         else:
             disagreements.append((kind, seed, boxes_h, boxes_d))
     rate = agree / total
-    assert rate >= 0.98, (
+    assert rate >= 0.99, (
         f"cut-decision agreement {rate:.3f} ({agree}/{total}); "
         f"disagreements: {disagreements}"
     )

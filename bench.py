@@ -256,7 +256,11 @@ def measure_matching(
         sn_r = ref_score_normalize(refs, noise, beta=1.5, nk=10)
         return matching_inference(
             queries, refs, sn_q, sn_r, qlen, classify, refine,
-            cls_keep_fraction=0.2, max_candidates=25 * n_queries,
+            # The bench's untrained filter has no selectivity, so the kept
+            # fraction is a load knob: the reference's TRAINED filter keeps
+            # ~5% of recalled pairs (matching PDF 2.2, prob > 0.0005), so
+            # 0.05 is the production stage-5 load per recalled candidate.
+            cls_keep_fraction=0.05, max_candidates=25 * n_queries,
         )
 
     run()  # warmup/compile

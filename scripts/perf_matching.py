@@ -90,6 +90,12 @@ def main():
     )
     ap.add_argument("--host_sims", action="store_true",
                     help="force the host sim-matrix path (oracle)")
+    ap.add_argument(
+        "--keep_fraction", type=float, default=0.05,
+        help="stage-5 load per recalled pair; the untrained bench filter "
+        "has no selectivity, and the reference's TRAINED filter keeps ~5% "
+        "of recalls (matching PDF 2.2), so 0.05 is the production point",
+    )
     args = ap.parse_args()
 
     from vsc22_tpu.models.hrnet import sam_hrnet_tiny_test, sam_hrnet_w18
@@ -154,7 +160,7 @@ def main():
         # of which the trained filter keeps ~5% + planted matches
         return matching_inference(
             queries, refs, sn_q, sn_r, qlen, classify, refine,
-            cls_keep_fraction=0.2,
+            cls_keep_fraction=args.keep_fraction,
             max_candidates=25 * args.queries,
             timer=timer,
             use_device_sims=False if args.host_sims else None,

@@ -98,6 +98,49 @@ def test_recall_candidates_finds_planted_pair():
     assert candidates[0][2] > 0.99
 
 
+def test_recall_device_aggregation_matches_hit_list_path():
+    """The dense video-pair segment-max path must reproduce the
+    threshold-search + host-scatter aggregation exactly (same pairs, same
+    scores, same sort order)."""
+    from vsc22_tpu.retrieval.packed import PackedFeatures
+    from vsc22_tpu.retrieval.search import video_pair_max_scores
+
+    queries, refs = make_corpus()
+    fast = recall_candidates(queries, refs, threshold=-0.1)
+
+    packed_r = PackedFeatures.from_video_features(refs)
+    packed_q = PackedFeatures.from_video_features(queries)
+    searcher = SimilaritySearcher(packed_r.features[: packed_r.num_rows])
+    rows, cols, scores = searcher.threshold_search(
+        packed_q.features[: packed_q.num_rows], -0.1
+    )
+    q_vid = packed_q.video_idx[rows].astype(np.int64)
+    r_vid = packed_r.video_idx[cols].astype(np.int64)
+    keys = q_vid * len(packed_r.video_ids) + r_vid
+    uniq, inv = np.unique(keys, return_inverse=True)
+    best = np.full(uniq.shape[0], -np.inf, np.float64)
+    np.maximum.at(best, inv, scores)
+    uq, ur = np.divmod(uniq, len(packed_r.video_ids))
+    slow = [
+        (packed_q.video_ids[int(a)], packed_r.video_ids[int(b)], float(s))
+        for a, b, s in zip(uq, ur, best)
+    ]
+    slow.sort(key=lambda t: -t[2])
+
+    assert len(fast) == len(slow)
+    for (fq, fr, fs), (sq, sr, ss) in zip(fast, slow):
+        assert (fq, fr) == (sq, sr)
+        np.testing.assert_allclose(fs, ss, rtol=0, atol=2e-5)
+
+    # multi-chunk accumulation covers the same pairs
+    mat = video_pair_max_scores(
+        packed_q.features, packed_q.video_idx,
+        packed_r.features, packed_r.video_idx,
+        len(packed_q.video_ids), len(packed_r.video_ids), row_chunk=64,
+    )
+    assert int((mat > -0.1).sum()) == len(fast)
+
+
 @pytest.fixture(scope="module")
 def tiny_ensembles():
     cls_models = []

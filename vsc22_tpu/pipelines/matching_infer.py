@@ -35,7 +35,7 @@ from vsc22_tpu.matching.simmat import (
     select_best_split_segment,
 )
 from vsc22_tpu.retrieval.packed import PackedFeatures
-from vsc22_tpu.retrieval.search import SimilaritySearcher
+from vsc22_tpu.retrieval.search import SimilaritySearcher, video_pair_max_scores
 
 SEARCH_THRESHOLD = -0.1
 MATCH_CLS_THRESHOLD = 0.0005
@@ -57,14 +57,29 @@ def recall_candidates(
     """Stage 3: every (query, ref) video pair with any frame sim > threshold,
     scored by its max frame similarity, sorted descending.
 
-    All query videos go through ONE batched threshold search (a per-video
-    loop costs a dispatch+fetch round-trip per video — ~0.2 s each on a
-    relay-attached chip); the (query video, ref video) max-aggregation then
-    runs as a single compacted scatter over the hit list, with memory
-    proportional to the number of hits, not |Q|x|R|.
+    Device aggregation path (default when |Q|x|R| fits): the per-frame hit
+    list is never needed — only each video pair's max frame sim — so the
+    GEMM feeds two on-device segment-max passes and the host fetches just
+    the [|Q|, |R|] video-pair matrix (`retrieval.search.video_pair_max_scores`).
+    The hit-list path (batched threshold search + compacted host scatter)
+    remains for sharded meshes and corpora whose pair matrix would not fit.
     """
     packed_refs = PackedFeatures.from_video_features(sn_refs)
     packed_q = PackedFeatures.from_video_features(sn_queries)
+    vq, vr = len(packed_q.video_ids), len(packed_refs.video_ids)
+    if mesh is None and vq * vr <= 32 * 1024 * 1024:
+        mat = video_pair_max_scores(
+            packed_q.features, packed_q.video_idx,
+            packed_refs.features, packed_refs.video_idx, vq, vr,
+        )
+        qi, ri = np.nonzero(mat > threshold)
+        s = mat[qi, ri]
+        order = np.argsort(-s, kind="stable")
+        return [
+            (packed_q.video_ids[int(qi[o])], packed_refs.video_ids[int(ri[o])],
+             float(s[o]))
+            for o in order
+        ]
     searcher = SimilaritySearcher(packed_refs.features[: packed_refs.num_rows], mesh=mesh)
     rows, cols, scores = searcher.threshold_search(
         packed_q.features[: packed_q.num_rows], threshold
@@ -238,12 +253,20 @@ class RefineEnsemble:
             model = models[0]
 
             def fwd(stack, im):
+                b = im.shape[0]
                 both = jnp.concatenate([im, jnp.swapaxes(im, 1, 2)], axis=0)
 
                 def body(carry, v):
                     return carry, apply_one(model, v, both)
 
-                return jax.lax.scan(body, None, stack)[1]  # [k, 2B, H, W]
+                probs = jax.lax.scan(body, None, stack)[1]  # [k, 2B, H, W]
+                # Fold-mean + transpose-TTA merge ON DEVICE: the host only
+                # ever consumes the merged map, and fetching [B, H, W]
+                # instead of [k, 2B, H, W] cuts the relay traffic 2k x
+                # (~13 MB -> 3.2 MB per 16-pair chunk at k=2) — the refine
+                # stage's dominant non-compute cost.
+                p, pt = probs[:, :b], jnp.swapaxes(probs[:, b:], 2, 3)
+                return ((p + pt).mean(axis=0) / 2.0).astype(jnp.float32)
 
             self._scanned = (jax.jit(fwd), stack)
             self._fns = None
@@ -273,10 +296,7 @@ class RefineEnsemble:
             x = jnp.asarray(images)
             if self._scanned is not None:
                 fwd, stack = self._scanned
-                probs = np.asarray(fwd(stack, x), np.float32)  # [k, 2B, H, W]
-                p = probs[:, : self.batch]
-                pt = np.swapaxes(probs[:, self.batch :], 2, 3)
-                acc = (p + pt).mean(axis=0) / 2.0
+                acc = np.asarray(fwd(stack, x), np.float32)  # merged [B, H, W]
             else:
                 xt = jnp.swapaxes(x, 1, 2)
                 acc = None
@@ -318,12 +338,8 @@ class RefineEnsemble:
         idx = 0
         for scanned, per_fold, imgs, offs, n in pending:
             raw = np.asarray(imgs, np.float32)
-            b = raw.shape[0]
             if scanned is not None:
-                probs = np.asarray(scanned, np.float32)  # [k, 2B, H, W]
-                p = probs[:, :b]
-                pt = np.swapaxes(probs[:, b:], 2, 3)
-                acc = (p + pt).mean(axis=0) / 2.0
+                acc = np.asarray(scanned, np.float32)  # merged [B, H, W]
             else:
                 acc = None
                 for pf, pft in per_fold:

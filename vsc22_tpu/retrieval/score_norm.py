@@ -96,6 +96,34 @@ def _min_variance_dim(features: List[VideoFeature]) -> int:
     return int(stacked.var(axis=0).argmin())
 
 
+# Serving calls score-norm once per batch against the SAME noise corpus;
+# rebuilding the searcher re-pads and re-uploads the corpus through the
+# relay every time (~26 MB / ~0.4 s at the matching track's 400-video
+# noise set). Keyed by a content digest of the prepared matrix, so a hit
+# is only possible for byte-identical noise — mutation or a different
+# corpus simply misses.
+_SEARCHER_CACHE: "dict[tuple, SimilaritySearcher]" = {}
+
+
+def _cached_searcher(noise: np.ndarray, mesh: Optional[Mesh]) -> SimilaritySearcher:
+    if mesh is not None:
+        return SimilaritySearcher(noise, mesh=mesh)
+    import hashlib
+
+    key = (
+        noise.shape,
+        hashlib.blake2b(np.ascontiguousarray(noise).tobytes(), digest_size=16)
+        .hexdigest(),
+    )
+    searcher = _SEARCHER_CACHE.get(key)
+    if searcher is None:
+        searcher = SimilaritySearcher(noise)
+        _SEARCHER_CACHE[key] = searcher
+        while len(_SEARCHER_CACHE) > 4:
+            _SEARCHER_CACHE.pop(next(iter(_SEARCHER_CACHE)))
+    return searcher
+
+
 def _noise_bias(
     queries: List[VideoFeature],
     score_norm_refs: List[VideoFeature],
@@ -119,7 +147,7 @@ def _noise_bias(
         from vsc22_tpu.ops.pallas_sim import row_max_gemm
 
         return -beta * row_max_gemm(all_q, noise)[:, None]
-    searcher = SimilaritySearcher(noise, mesh=mesh)
+    searcher = _cached_searcher(noise, mesh)
     sims, _ = searcher.row_topk(all_q, nk)
     return -beta * sims.mean(axis=1, keepdims=True)
 

@@ -639,3 +639,62 @@ def global_topk_search(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-shot exact global top-k search. See `SimilaritySearcher.global_topk`."""
     return SimilaritySearcher(refs, mesh=mesh).global_topk(queries, global_k)
+
+
+@functools.partial(jax.jit, static_argnames=("vq", "vr"))
+def _pair_max_chunk(qf, q_seg, rf, r_seg, *, vq: int, vr: int):
+    """[vq+1, vr+1] max frame-sim per (query video, ref video) for one
+    (query-rows x ref-rows) block. Segment index vq/vr is the padding
+    bucket; empty segments come back -inf (segment_max's fill)."""
+    sims = jax.lax.dot_general(
+        qf,
+        rf,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
+    )  # [cq, cr]
+    by_ref = jax.ops.segment_max(sims.T, r_seg, num_segments=vr + 1)  # [vr+1, cq]
+    return jax.ops.segment_max(by_ref.T, q_seg, num_segments=vq + 1)  # [vq+1, vr+1]
+
+
+def video_pair_max_scores(
+    q_features: np.ndarray,
+    q_video_idx: np.ndarray,
+    r_features: np.ndarray,
+    r_video_idx: np.ndarray,
+    n_q_videos: int,
+    n_r_videos: int,
+    row_chunk: int = 16384,
+) -> np.ndarray:
+    """Dense [n_q_videos, n_r_videos] matrix of max frame similarities.
+
+    The matching track's recall stage (M1/infer/infer_matching.py:218-247)
+    only consumes the per-video-pair MAX frame similarity — never the
+    individual frame hits — so aggregating on device (GEMM + two
+    segment-max passes) and fetching the tiny video-pair matrix replaces
+    the k-NN/doubling range search plus a host hit list that can run to
+    millions of rows (the dominant recall cost on a relay-attached chip).
+
+    `*_video_idx` rows holding -1 (padding) are routed to a discard
+    bucket. Pairs with no frames come back -inf, matching their absence
+    from a hit-list aggregation.
+    """
+    pad_q = np.where(q_video_idx < 0, n_q_videos, q_video_idx).astype(np.int32)
+    pad_r = np.where(r_video_idx < 0, n_r_videos, r_video_idx).astype(np.int32)
+    qf = np.ascontiguousarray(q_features, np.float32)
+    rf = np.ascontiguousarray(r_features, np.float32)
+    out = np.full((n_q_videos, n_r_videos), -np.inf, np.float32)
+    pending = []
+    for q0 in range(0, qf.shape[0], row_chunk):
+        q1 = min(q0 + row_chunk, qf.shape[0])
+        for r0 in range(0, rf.shape[0], row_chunk):
+            r1 = min(r0 + row_chunk, rf.shape[0])
+            pending.append(
+                _pair_max_chunk(
+                    qf[q0:q1], pad_q[q0:q1], rf[r0:r1], pad_r[r0:r1],
+                    vq=n_q_videos, vr=n_r_videos,
+                )
+            )
+    for block in pending:  # dispatch-all-then-fetch
+        np.maximum(out, np.asarray(block)[:n_q_videos, :n_r_videos], out=out)
+    return out

@@ -45,28 +45,38 @@ def resize_normalize(
     return x.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "out_dtype"))
 def clip_preprocess(frames_u8: jax.Array, size: int = 224, out_dtype=jnp.float32) -> jax.Array:
     """CLIP preset: shortest-side resize to `size` (bicubic) + center crop.
 
-    Implemented statically for a fixed input shape per compile (the frame
-    pipeline feeds constant-resolution batches per video).
+    Runs as the same jitted two-GEMM program as `crop_resize_normalize`
+    (the center crop is a column subset of the resize weight matrices —
+    one program instead of an eager jax.image.resize chain that pays a
+    dispatch per op and f32 GEMMs). The weights enter as (cached,
+    device-resident) ARGUMENTS, not traced constants — large baked-in
+    constants are rejected by remote-relay compiles.
     """
-    n, h, w, _ = frames_u8.shape
-    x = frames_u8.astype(jnp.float32) / 255.0
+    _, h, w, _ = frames_u8.shape
+    row_w, col_w = _clip_resize_weights(int(h), int(w), size)
+    return crop_resize_normalize(
+        frames_u8, row_w, col_w, preset="clip", out_dtype=out_dtype,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _clip_resize_weights(h: int, w: int, size: int):
+    """(row, col) cubic weight matrices for shortest-side resize to `size`
+    followed by a center crop — the crop keeps only the output rows/cols
+    inside the crop window, i.e. a column subset of the full resize
+    matrices. Device-resident: one upload per shape per process."""
     if h <= w:
         new_h, new_w = size, max(int(round(w * size / h)), size)
     else:
         new_h, new_w = max(int(round(h * size / w)), size), size
-    x = jax.image.resize(x, (n, new_h, new_w, 3), method="cubic")
     top = (new_h - size) // 2
     left = (new_w - size) // 2
-    x = jax.lax.dynamic_slice(
-        x, (0, top, left, 0), (n, size, size, 3)
-    )
-    mean, std = PRESETS["clip"]
-    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
-    return x.astype(out_dtype)
+    row_w = cubic_resize_weights(h, new_h)[:, top : top + size]
+    col_w = cubic_resize_weights(w, new_w)[:, left : left + size]
+    return jnp.asarray(row_w), jnp.asarray(col_w)
 
 
 def resize_normalize_host(img, size: int, preset: str = "vit"):
@@ -169,9 +179,19 @@ def crop_resize_normalize(
     [s*c, w] x [w, t] GEMM, with one cheap minor transpose back at the
     end."""
     mean, std = PRESETS[preset]
-    x = frames_u8.astype(jnp.float32) / 255.0
-    y = jnp.einsum("nhwc,hs->nswc", x, row_w, preferred_element_type=jnp.float32)
-    y = jnp.einsum("nscw,wt->nsct", y.transpose(0, 1, 3, 2), col_w,
+    # bf16 serving consumers get bf16 GEMMs (f32 accumulation): the resize
+    # contractions are MXU-bound and f32 runs them at 1/4 rate, while the
+    # model input would be bf16-rounded immediately anyway (u8/255 carries
+    # ~2^-9 relative rounding in bf16 — below the model's own input
+    # quantization). f32 consumers (tests, weight-porting parity) keep the
+    # exact jax.image.resize-equivalent f32 path.
+    ct = jnp.bfloat16 if jnp.dtype(out_dtype) == jnp.bfloat16 else jnp.float32
+    x = frames_u8.astype(ct) / jnp.asarray(255.0, ct)
+    y = jnp.einsum(
+        "nhwc,hs->nswc", x, row_w.astype(ct),
+        preferred_element_type=jnp.float32,
+    ).astype(ct)
+    y = jnp.einsum("nscw,wt->nsct", y.transpose(0, 1, 3, 2), col_w.astype(ct),
                    preferred_element_type=jnp.float32)
     y = y.transpose(0, 1, 3, 2)  # [n, s, t, c]
     y = (y - jnp.asarray(mean)) / jnp.asarray(std)

